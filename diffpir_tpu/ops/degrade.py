@@ -1,0 +1,277 @@
+"""Degradation operators: blur kernels, masks, noise, and forward models.
+
+Task-physics parity with the reference:
+
+  * ``fspecial_gaussian``      == ``utils/utils_deblur.py:488-499``
+  * ``gaussian_psf``           == DPS ``Blurkernel`` gaussian init
+                                  (``utils_deblur.py:658-666``: impulse through
+                                  ``scipy.ndimage.gaussian_filter``)
+  * ``motion_psf``             == trajectory-synthesis family
+                                  (``utils_deblur.py:556-632``); the reference's
+                                  other motion source is the external
+                                  ``motionblur`` pip package (``README.md:40``),
+                                  reproduced statistically, not bit-exactly.
+  * ``box_mask``/``random_mask``/``make_mask`` == ``utils/utils_inpaint.py:67-137``
+  * ``classical_degradation``  == ``utils/utils_sisr.py:100-114``
+  * ``blur_circular``          == ``scipy.ndimage.convolve(..., mode='wrap')``
+                                  (``main_ddpir.py:99``) — exact circular
+                                  convolution, done spectrally on device.
+  * ``blur_reflect``           == reflection-pad depthwise conv forward op
+                                  (``main_ddpir.py:304-310``).
+
+Kernel/mask synthesis is host-side numpy (it feeds the data pipeline and must
+replicate the reference's numpy RNG streams for reproducibility); the forward
+operators are jittable jnp functions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import gaussian_filter
+from scipy.signal import convolve2d
+
+__all__ = [
+    "fspecial_gaussian", "gaussian_psf", "motion_psf", "trajectory_psf",
+    "box_mask", "random_mask", "make_mask",
+    "blur_circular", "blur_reflect", "classical_degradation", "add_awgn",
+]
+
+
+# ---------------------------------------------------------------------------
+# Kernel synthesis (host-side numpy)
+# ---------------------------------------------------------------------------
+
+def fspecial_gaussian(hsize: int, sigma: float) -> np.ndarray:
+    """MATLAB fspecial('gaussian'): truncated, normalized Gaussian."""
+    siz = (hsize - 1) / 2.0
+    y, x = np.mgrid[-siz:siz + 1, -siz:siz + 1]
+    h = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    h[h < np.finfo(float).eps * h.max()] = 0
+    s = h.sum()
+    return h / s if s != 0 else h
+
+
+def gaussian_psf(kernel_size: int, std: float) -> np.ndarray:
+    """Impulse response of scipy's gaussian_filter (DPS Blurkernel 'gaussian')."""
+    n = np.zeros((kernel_size, kernel_size))
+    n[kernel_size // 2, kernel_size // 2] = 1.0
+    return gaussian_filter(n, sigma=std)
+
+
+def trajectory_psf(h: int = 37, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random camera-shake kernel from a 3-D random trajectory.
+
+    Same generative family as reference ``blurkernel_synthesis`` /
+    ``kernelFromTrajectory`` / ``randomTrajectory`` (``utils_deblur.py:556-623``):
+    integrate random rotational+translational impulses, histogram the projected
+    path, smooth with a 3x3 Gaussian, center-pad to (h, h).
+    """
+    rng = rng or np.random.default_rng()
+    T = 150
+    x = np.zeros((3, T))
+    v = rng.standard_normal((3, T))
+    r = np.zeros((3, T))
+    trr = 2 * math.pi / T
+    for t in range(1, T):
+        f_rot = rng.standard_normal(3) / (t + 1) + r[:, t - 1]
+        f_trans = rng.standard_normal(3) / (t + 1)
+        r[:, t] = r[:, t - 1] + trr * f_rot
+        v[:, t] = v[:, t - 1] + f_trans
+        st = _rot3d(v[:, t], r[:, t])
+        x[:, t] = x[:, t - 1] + st
+
+    k = None
+    while k is None:
+        k = _kernel_from_trajectory(x, rng)
+    pad0 = (h - k.shape[0]) // 2
+    pad1 = (h - k.shape[1]) // 2
+    if pad0 < 0 or pad1 < 0:
+        k = k[:h, :h]
+    else:
+        k = np.pad(k, ((pad0, h - k.shape[0] - pad0), (pad1, h - k.shape[1] - pad1)))
+    return k / k.sum()
+
+
+def _rot3d(x: np.ndarray, r: np.ndarray) -> np.ndarray:
+    cx, sx = math.cos(r[0]), math.sin(r[0])
+    cy, sy = math.cos(r[1]), math.sin(r[1])
+    cz, sz = math.cos(r[2]), math.sin(r[2])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx @ x
+
+
+def _kernel_from_trajectory(x: np.ndarray, rng: np.random.Generator) -> Optional[np.ndarray]:
+    h = 5 - math.log(rng.uniform()) / 0.15
+    h = int(round(min(h, 27.0)))
+    h = h + 1 - h % 2
+    w = h
+    k = np.zeros((h, w))
+    xmin, xmax = x[0].min(), x[0].max()
+    ymin, ymax = x[1].min(), x[1].max()
+    xthr = np.arange(xmin, xmax, (xmax - xmin) / w)
+    ythr = np.arange(ymin, ymax, (ymax - ymin) / h)
+    for i in range(1, xthr.size):
+        for j in range(1, ythr.size):
+            idx = ((x[0] >= xthr[i - 1]) & (x[0] < xthr[i]) &
+                   (x[1] >= ythr[j - 1]) & (x[1] < ythr[j]))
+            k[i - 1, j - 1] = idx.sum()
+    if k.sum() == 0:
+        return None
+    k = k / k.sum()
+    k = convolve2d(k, fspecial_gaussian(3, 1), "same")
+    return k / k.sum()
+
+
+def motion_psf(kernel_size: int, intensity: float = 0.5,
+               rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Motion-blur kernel with an intensity knob in [0, 1].
+
+    Statistical stand-in for the external ``motionblur.Kernel`` package the
+    reference imports (``utils_deblur.py:7``, ``README.md:40``): a random
+    piecewise-smooth 2-D path whose curvature/jitter grows with `intensity`,
+    rasterized with linear interpolation and lightly smoothed.
+    """
+    rng = rng or np.random.default_rng()
+    steps = max(kernel_size * 4, 64)
+    # heading angle as a random walk; intensity scales angular diffusion
+    theta0 = rng.uniform(0, 2 * math.pi)
+    dtheta = rng.standard_normal(steps) * (0.05 + 1.2 * intensity)
+    theta = theta0 + np.cumsum(dtheta)
+    speed = 1.0 + intensity * rng.standard_normal(steps) * 0.5
+    pts = np.stack([np.cumsum(speed * np.cos(theta)),
+                    np.cumsum(speed * np.sin(theta))], axis=1)
+    pts -= pts.mean(axis=0)
+    # fit inside the kernel support
+    span = max(np.abs(pts).max(), 1e-8)
+    half = (kernel_size - 1) / 2.0
+    pts = pts * (half * 0.92 / span) + half
+
+    k = np.zeros((kernel_size, kernel_size))
+    # densify with linear interpolation between consecutive samples
+    for a, b in zip(pts[:-1], pts[1:]):
+        n = int(np.ceil(np.hypot(*(b - a)))) * 2 + 1
+        for f in np.linspace(0, 1, n):
+            py, px = a[0] * (1 - f) + b[0] * f, a[1] * (1 - f) + b[1] * f
+            i0, j0 = int(py), int(px)
+            di, dj = py - i0, px - j0
+            for ii, wi in ((i0, 1 - di), (i0 + 1, di)):
+                for jj, wj in ((j0, 1 - dj), (j0 + 1, dj)):
+                    if 0 <= ii < kernel_size and 0 <= jj < kernel_size:
+                        k[ii, jj] += wi * wj
+    k = gaussian_filter(k, sigma=max(0.4, intensity))
+    return k / k.sum()
+
+
+# ---------------------------------------------------------------------------
+# Masks (host-side numpy; reference utils_inpaint.py:67-137)
+# ---------------------------------------------------------------------------
+
+def box_mask(image_size: int = 256, mask_len_range=(128, 129), margin=(16, 16),
+             rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random square zero-box mask, (H, W) float in {0,1}. 1 = observed."""
+    rng = rng or np.random.default_rng()
+    lo, hi = int(mask_len_range[0]), int(mask_len_range[1])
+    h = int(rng.integers(lo, hi))
+    w = int(rng.integers(lo, hi))
+    mh, mw = margin
+    t = int(rng.integers(mh, image_size - mh - h))
+    l = int(rng.integers(mw, image_size - mw - w))
+    mask = np.ones((image_size, image_size), np.float32)
+    mask[t:t + h, l:l + w] = 0.0
+    return mask
+
+
+def random_mask(image_size: int = 256, mask_prob_range=(0.5, 0.5),
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random-pixel dropout mask, same prob for all channels."""
+    rng = rng or np.random.default_rng()
+    prob = rng.uniform(*mask_prob_range)
+    total = image_size * image_size
+    mask = np.ones(total, np.float32)
+    drop = rng.choice(total, int(total * prob), replace=False)
+    mask[drop] = 0.0
+    return mask.reshape(image_size, image_size)
+
+
+def make_mask(mask_type: str, image_size: int = 256, mask_len_range=(128, 129),
+              mask_prob_range=(0.5, 0.5), margin=(16, 16),
+              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Dispatch over the reference's mask types (box|random|extreme)."""
+    if mask_type == "random":
+        return random_mask(image_size, mask_prob_range, rng)
+    if mask_type == "box":
+        return box_mask(image_size, mask_len_range, margin, rng)
+    if mask_type == "extreme":
+        return 1.0 - box_mask(image_size, mask_len_range, margin, rng)
+    raise ValueError(f"unknown mask_type: {mask_type}")
+
+
+# ---------------------------------------------------------------------------
+# Forward operators (jittable)
+# ---------------------------------------------------------------------------
+
+def blur_circular(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Circular (wrap) convolution, NHWC x (B, kh, kw) kernels — spectral.
+
+    Exactly matches ``scipy.ndimage.convolve(img, k, mode='wrap')`` for
+    odd-sized kernels, which is the deblur degradation the FFT prox assumes
+    (``main_ddpir.py:98-99``).
+    """
+    from diffpir_tpu.ops.fft_prox import psf_to_otf
+
+    H, W = x.shape[1:3]
+    otf = psf_to_otf(k, (H, W))[:, :, :, None]                # (B, H, W, 1)
+    X = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))
+    return jnp.real(jnp.fft.ifft2(X * otf, axes=(1, 2)))
+
+
+def blur_reflect(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Reflection-padded depthwise correlation (DPS-style forward op).
+
+    Matches ``ReflectionPad2d(ks//2)`` + grouped ``F.conv2d`` with a shared
+    kernel per channel (``main_ddpir.py:304-310``); note torch conv2d is
+    correlation (no kernel flip).
+    """
+    ks = k.shape[-1]
+    pad = ks // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    c = x.shape[-1]
+    # depthwise: same spatial kernel replicated over channels
+    kern = jnp.broadcast_to(k[0][:, :, None, None], (ks, ks, 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+
+
+def classical_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:
+    """Host-side blur (wrap) + strided subsample (reference ``utils_sisr.py:100-114``)."""
+    from scipy import ndimage
+
+    y = ndimage.convolve(x, np.expand_dims(k, axis=2), mode="wrap")
+    return y[::sf, ::sf, ...]
+
+
+def add_awgn(img01: np.ndarray, noise_level: float,
+             rng: Optional[np.random.Generator] = None,
+             legacy_seed: Optional[int] = None) -> np.ndarray:
+    """AWGN with std `noise_level` in [0,1] domain.
+
+    The reference adds N(0, 2*sigma) in the [-1,1] domain
+    (``main_ddpir.py:112-114``) — identical to N(0, sigma) in [0,1].
+    `legacy_seed` reproduces the reference's ``np.random.seed`` streams.
+    """
+    if legacy_seed is not None:
+        np.random.seed(legacy_seed)
+        x = img01 * 2 - 1
+        x = x + np.random.normal(0, noise_level * 2, img01.shape)
+        return x / 2 + 0.5
+    rng = rng or np.random.default_rng()
+    return img01 + rng.normal(0, noise_level, img01.shape)

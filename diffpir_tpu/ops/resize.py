@@ -1,0 +1,144 @@
+"""MATLAB-exact separable image resizing as dense matmuls.
+
+Reimplements the numerics of the reference's two resizers —
+``utils/utils_resizer.py`` (Resizer, per-dim field-of-view gather + weights)
+and ``utils/utils_image.py:680-805`` (``imresize``/``imresize_np``,
+``calculate_weights_indices``) — which share the same MATLAB ``imresize``
+semantics: kernel-width stretching for antialiased downscale, center-aligned
+coordinate mapping ``u = x/scale + 0.5*(1 - 1/scale)``, symmetric boundary
+reflection, and weight normalization.
+
+TPU-first design: instead of per-pixel gathers, each spatial dimension's
+resize is baked into a dense (out_len, in_len) matrix on host; application is
+two einsum contractions that map straight onto the MXU.  For 256->64 x4
+downscale that is a (64,256) x (256,256) matmul per axis — orders of magnitude
+better MXU utilization than gather/scatter.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize_matrix", "resize2d", "Resizer2D", "cubic_kernel"]
+
+
+def cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Keys cubic (a = -0.5), the MATLAB 'bicubic' kernel."""
+    ax = np.abs(x)
+    ax2, ax3 = ax**2, ax**3
+    return ((1.5 * ax3 - 2.5 * ax2 + 1.0) * (ax <= 1) +
+            (-0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0) * ((1 < ax) & (ax <= 2)))
+
+
+def linear_kernel(x: np.ndarray) -> np.ndarray:
+    return (x + 1) * ((-1 <= x) & (x < 0)) + (1 - x) * ((0 <= x) & (x <= 1))
+
+
+def box_kernel(x: np.ndarray) -> np.ndarray:
+    return (((-0.5 <= x) & (x < 0.5))).astype(np.float64)
+
+
+def _lanczos(x: np.ndarray, a: int) -> np.ndarray:
+    eps = np.finfo(np.float32).eps
+    return (((np.sin(math.pi * x) * np.sin(math.pi * x / a) + eps) /
+             ((math.pi**2 * x**2 / a) + eps)) * (np.abs(x) < a))
+
+
+_KERNELS: dict[str, tuple[Callable, float]] = {
+    "cubic": (cubic_kernel, 4.0),
+    "linear": (linear_kernel, 2.0),
+    "box": (box_kernel, 1.0),
+    "lanczos2": (lambda x: _lanczos(x, 2), 4.0),
+    "lanczos3": (lambda x: _lanczos(x, 3), 6.0),
+}
+
+
+@lru_cache(maxsize=64)
+def resize_matrix(in_length: int, out_length: int, scale: float,
+                  kernel: str = "cubic", antialiasing: bool = True) -> np.ndarray:
+    """Dense 1-D resize operator R: (out_length, in_length) float32.
+
+    out[i] = sum_j R[i, j] * in[j].  Weights/field-of-view math follows
+    reference ``utils_resizer.py:104-167`` exactly (including the +-1 pixel
+    expanded support, weight normalization, and mirror boundary folding).
+    """
+    kfunc, kwidth = _KERNELS[kernel]
+    antialiasing = antialiasing and scale < 1
+    fixed = (lambda arg: scale * kfunc(scale * arg)) if antialiasing else kfunc
+    kwidth = kwidth / scale if antialiasing else kwidth
+
+    out_coords = np.arange(1, out_length + 1, dtype=np.float64)
+    shifted = out_coords - (out_length - in_length * scale) / 2
+    match = shifted / scale + 0.5 * (1 - 1 / scale)
+    left = np.floor(match - kwidth / 2)
+    p = int(math.ceil(kwidth)) + 2
+    fov = left[:, None] + np.arange(p)[None, :] - 1          # (out, p)
+    weights = fixed(match[:, None] - fov - 1)
+    ssum = weights.sum(axis=1)
+    ssum[ssum == 0] = 1.0
+    weights = weights / ssum[:, None]
+    # mirror (symmetric) boundary folding
+    mirror = np.concatenate([np.arange(in_length), np.arange(in_length - 1, -1, -1)])
+    fov_idx = mirror[np.mod(fov.astype(np.int64), mirror.shape[0])]
+
+    R = np.zeros((out_length, in_length), dtype=np.float64)
+    for j in range(p):
+        np.add.at(R, (np.arange(out_length), fov_idx[:, j]), weights[:, j])
+    return R.astype(np.float32)
+
+
+def resize2d(x: jnp.ndarray, scale: float | tuple[float, float] = None,
+             out_shape: tuple[int, int] | None = None, kernel: str = "cubic",
+             antialiasing: bool = True) -> jnp.ndarray:
+    """Resize NHWC batch `x` by `scale` (or to `out_shape`) with MATLAB semantics.
+
+    Equivalent to reference ``Resizer(in_shape, scale)(x)`` and, for cubic,
+    to ``utils_image.imresize_np`` — validated against both in
+    ``tests/test_resize.py``.
+    """
+    b, h, w, c = x.shape
+    if out_shape is None:
+        sh, sw = (scale, scale) if np.isscalar(scale) else scale
+        out_shape = (int(np.ceil(h * sh)), int(np.ceil(w * sw)))
+    else:
+        sh, sw = out_shape[0] / h, out_shape[1] / w
+    Rh = jnp.asarray(resize_matrix(h, out_shape[0], float(sh), kernel, antialiasing))
+    Rw = jnp.asarray(resize_matrix(w, out_shape[1], float(sw), kernel, antialiasing))
+    import jax
+
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    # sorted-dims order (reference resizes the most-shrunk dim first); for
+    # uniform scaling the order is H then W which matches argsort stability.
+    prec = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,bhwc->bowc", Rh, x, precision=prec)
+    x = jnp.einsum("ow,bhwc->bhoc", Rw, x, precision=prec)
+    return x.astype(dt)
+
+
+class Resizer2D:
+    """Precompiled resize operator for a fixed (in_shape, scale).
+
+    Drop-in analogue of reference ``utils_resizer.Resizer`` for the SR 'cubic'
+    degradation path; holds the two dense operators as device constants.
+    """
+
+    def __init__(self, in_hw: tuple[int, int], scale: float,
+                 kernel: str = "cubic", antialiasing: bool = True):
+        h, w = in_hw
+        out_h, out_w = int(np.ceil(h * scale)), int(np.ceil(w * scale))
+        self.out_hw = (out_h, out_w)
+        self.Rh = jnp.asarray(resize_matrix(h, out_h, scale, kernel, antialiasing))
+        self.Rw = jnp.asarray(resize_matrix(w, out_w, scale, kernel, antialiasing))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        x = jnp.einsum("oh,bhwc->bowc", self.Rh, x, precision=prec)
+        return jnp.einsum("ow,bhwc->bhoc", self.Rw, x, precision=prec)

@@ -1,0 +1,34 @@
+"""Test harness: force an 8-virtual-device CPU JAX runtime before jax imports.
+
+This exercises all mesh/sharding code paths without TPU hardware
+(SURVEY.md §4 test strategy).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+# the environment pre-seeds jax_platforms='axon,cpu' (TPU tunnel); tests must
+# run on the virtual 8-device CPU backend regardless
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def add_reference_to_path():
+    """Allow tests to import the PyTorch reference for golden-value parity."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)

@@ -1,0 +1,126 @@
+"""FFT prox vs the reference torch implementation and vs a dense direct solve."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+import jax.numpy as jnp
+
+from diffpir_tpu.ops.degrade import blur_circular, fspecial_gaussian
+from diffpir_tpu.ops.fft_prox import (
+    alias_block_mean, precompute, prox_solve, psf_to_otf,
+    upsample_zeros, downsample_strided,
+)
+
+
+def _rand_kernel(rng, n=7):
+    k = rng.random((n, n))
+    return (k / k.sum()).astype(np.float32)
+
+
+def test_psf_to_otf_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    import torch
+    from utils import utils_sisr as sr
+
+    rng = np.random.default_rng(0)
+    k = _rand_kernel(rng)
+    ref = sr.p2o(torch.from_numpy(k)[None, None], (16, 16)).numpy()[0, 0]
+    ours = np.asarray(psf_to_otf(jnp.asarray(k)[None], (16, 16)))[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_updown_sample_semantics():
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 4, 4, 3)).astype(np.float32)
+    up = np.asarray(upsample_zeros(jnp.asarray(x), 3))
+    assert up.shape == (2, 12, 12, 3)
+    np.testing.assert_array_equal(up[:, ::3, ::3, :], x)
+    assert up.sum() == pytest.approx(x.sum(), rel=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(downsample_strided(jnp.asarray(up), 3)), x)
+
+
+def test_alias_block_mean_matches_reference_splits():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    import torch
+    from utils import utils_sisr as sr
+
+    rng = np.random.default_rng(2)
+    a = rng.random((2, 3, 8, 8)).astype(np.float32)  # torch NCHW
+    ref = torch.mean(sr.splits(torch.from_numpy(a), 2), dim=-1).numpy()
+    ours = np.asarray(alias_block_mean(jnp.asarray(a.transpose(0, 2, 3, 1)), 2))
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("sf", [1, 2, 3])
+def test_prox_solve_matches_reference(sf):
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    import torch
+    from utils import utils_sisr as sr
+
+    rng = np.random.default_rng(3)
+    H = 12 * sf
+    y = rng.random((2, 12, 12, 3)).astype(np.float32)
+    x0 = rng.random((2, H, H, 3)).astype(np.float32)
+    k = _rand_kernel(rng, 5)
+    tau = 0.37
+
+    yt = torch.from_numpy(y.transpose(0, 3, 1, 2))
+    kt = torch.from_numpy(np.broadcast_to(k, (2, 3, 5, 5)).copy())
+    FB, FBC, F2B, FBFy = sr.pre_calculate(yt, kt, sf)
+    ref = sr.data_solution(torch.from_numpy(x0.transpose(0, 3, 1, 2)),
+                           FB, FBC, F2B, FBFy,
+                           torch.tensor(tau), sf).numpy().transpose(0, 2, 3, 1)
+
+    op = precompute(jnp.asarray(y), jnp.asarray(np.broadcast_to(k, (2, 5, 5)).copy()), sf)
+    ours = np.asarray(prox_solve(jnp.asarray(x0), op, tau))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_prox_solve_is_the_exact_minimizer():
+    """Dense linear-algebra check on a tiny image: the prox output must satisfy
+    (H^T H + tau I) x = H^T y + tau x0 with H = circular blur + sf-subsample."""
+    rng = np.random.default_rng(4)
+    sf, n = 2, 8
+    k = _rand_kernel(rng, 3)
+    x0 = rng.random((1, n, n, 1)).astype(np.float32)
+    xtrue = rng.random((1, n, n, 1)).astype(np.float32)
+    y = np.asarray(downsample_strided(blur_circular(jnp.asarray(xtrue),
+                                                    jnp.asarray(k)[None]), sf))
+
+    # dense forward operator
+    N = n * n
+    Hmat = np.zeros((N // sf**2, N))
+    for j in range(N):
+        e = np.zeros((1, n, n, 1), np.float32)
+        e.flat[j] = 1.0
+        col = np.asarray(downsample_strided(
+            blur_circular(jnp.asarray(e), jnp.asarray(k)[None]), sf))
+        Hmat[:, j] = col.flatten()
+    tau = 0.21
+    A = Hmat.T @ Hmat + tau * np.eye(N)
+    b = Hmat.T @ y.flatten() + tau * x0.flatten()
+    direct = np.linalg.solve(A, b).reshape(1, n, n, 1)
+
+    op = precompute(jnp.asarray(y), jnp.asarray(k)[None], sf)
+    ours = np.asarray(prox_solve(jnp.asarray(x0), op, tau))
+    np.testing.assert_allclose(ours, direct, atol=1e-4)
+
+
+def test_blur_circular_matches_scipy_wrap():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 16, 16, 3)).astype(np.float32)
+    k = fspecial_gaussian(7, 1.5).astype(np.float32)
+    ref = ndimage.convolve(x[0], k[:, :, None], mode="wrap")
+    ours = np.asarray(blur_circular(jnp.asarray(x), jnp.asarray(k)[None]))[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
