@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: images/sec/chip, 256 px, 100-NFE DiffPIR restoration.
+
+Runs the flagship ffhq-256 UNet (guided-diffusion topology, 128ch — random
+weights if the checkpoint isn't on disk; identical FLOPs/memory traffic) in
+bfloat16 through the full 100-step DiffPIR inpainting trajectory as one
+compiled lax.scan, on whatever accelerator JAX sees (the driver runs this on
+one real TPU chip).
+
+Baseline: the reference (yuanzhi-zhu/DiffPIR) publishes no throughput numbers
+(BASELINE.md).  We use 0.10 images/sec/GPU as the PyTorch baseline — a
+V100-class GPU takes ~100 ms per 256px guided-diffusion UNet forward, and the
+reference's loop runs 100 sequential NFE with per-step host syncs
+(main_ddpir.py:341-344).  vs_baseline = measured / 0.10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 0.10
+NFE = 100
+BATCH = 8
+SIZE = 256
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffpir_tpu.models.zoo import resolve_model
+    from diffpir_tpu.sampler import diffpir_sample, make_denoiser, make_inpaint_prox
+    from diffpir_tpu.schedule import NoiseSchedule, build_plan
+
+    module, params = resolve_model("diffusion_ffhq_10m", "model_zoo",
+                                   dtype=jnp.bfloat16)
+    sched = NoiseSchedule.linear(0.0001, 0.02, 1000)
+    plan = build_plan(sched, iter_num=NFE, skip_type="quad", lambda_=1.0,
+                      zeta=1.0, eta=0.0, sigma_y=0.001)
+    den = make_denoiser(lambda p, x, t: module.apply({"params": p}, x, t),
+                        params, sched, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((BATCH, SIZE, SIZE, 1)) > 0.5)
+                       .astype(np.float32))
+
+    @jax.jit
+    def restore(params, y, mask, key):
+        import dataclasses
+
+        d = dataclasses.replace(den, params=params)
+        prox = make_inpaint_prox(y, mask)
+        x0 = jax.random.normal(key, y.shape, jnp.float32)
+        return diffpir_sample(d, prox, plan, x0, key, zeta=1.0,
+                              generate_mode="DiffPIR", y=y, mask=mask,
+                              recover_known=True)
+
+    # compile + warmup
+    out = restore(params, y, mask, jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = restore(params, y, mask, jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    ips = BATCH / dt
+    print(json.dumps({
+        "metric": f"images/sec/chip, {SIZE}px, {NFE}-NFE DiffPIR (bf16, batch {BATCH})",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Model zoo: resolve (config, params) for a model name.
+
+Resolution order for weights:
+  1. ``<model_zoo>/<name>.flax.npz``  — cached converted weights (fast path)
+  2. ``<model_zoo>/<name>.pt``        — torch checkpoint, converted on the fly
+                                        through ``models.convert`` and cached
+  3. random init                      — with a loud warning (used by the tiny
+                                        test fixtures; full-size models produce
+                                        garbage restorations without weights)
+
+The published checkpoints are the OpenAI guided-diffusion ones the reference
+uses (``model_zoo/README.md:4-7``: diffusion_ffhq_10m.pt,
+256x256_diffusion_uncond.pt, fetched by ``download.sh``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpir_tpu.models.unet import MODEL_ZOO_CONFIGS, UNet, UNetConfig
+
+__all__ = ["resolve_model", "TINY_TEST_CONFIG", "save_params_npz", "load_params_npz"]
+
+log = logging.getLogger(__name__)
+
+# Tiny fixture model for end-to-end tests and smoke runs without checkpoints.
+# Depth matters even at tiny width: the middle block always carries attention,
+# so channel_mult must downsample far enough that 256px inputs reach a small
+# middle resolution (256/2^3 = 32 -> 1024 tokens).
+TINY_TEST_CONFIG = UNetConfig(
+    image_size=64, model_channels=32, out_channels=6, num_res_blocks=1,
+    attention_resolutions=(8,), channel_mult=(1, 1, 2, 2), num_heads=4,
+    num_head_channels=16, dropout=0.0,
+)
+
+
+def model_config_for(model_name: str) -> UNetConfig:
+    if model_name in MODEL_ZOO_CONFIGS:
+        return MODEL_ZOO_CONFIGS[model_name]
+    if model_name.startswith("tiny"):
+        return TINY_TEST_CONFIG
+    raise KeyError(f"unknown model {model_name!r}; known: "
+                   f"{sorted(MODEL_ZOO_CONFIGS) + ['tiny*']}")
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(params: Dict[str, Any], path: str) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_params_npz(path: str) -> Dict[str, Any]:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
+                  dtype=jnp.float32, use_pallas: bool = False,
+                  init_seed: int = 0) -> Tuple[UNet, Dict[str, Any]]:
+    """Return (module, params) for `model_name`."""
+    cfg = model_config_for(model_name)
+    module = UNet(cfg, dtype=dtype, use_pallas=use_pallas)
+
+    npz_path = os.path.join(model_zoo, f"{model_name}.flax.npz")
+    pt_path = os.path.join(model_zoo, f"{model_name}.pt")
+    if os.path.exists(npz_path):
+        return module, load_params_npz(npz_path)
+    if os.path.exists(pt_path):
+        from diffpir_tpu.models.convert import load_torch_checkpoint
+
+        log.info("converting %s -> %s", pt_path, npz_path)
+        params = load_torch_checkpoint(pt_path)
+        try:
+            save_params_npz(params, npz_path)
+        except OSError:
+            log.warning("could not cache converted weights at %s", npz_path)
+        return module, params
+
+    log.warning(
+        "no checkpoint for %r under %s — using RANDOM weights (test fixtures "
+        "only; restorations will be meaningless)", model_name, model_zoo)
+    sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = module.init(jax.random.PRNGKey(init_seed), sample,
+                         jnp.zeros((1,), jnp.int32))["params"]
+    return module, params

@@ -108,6 +108,15 @@ def prox_solve(x0: jnp.ndarray, op: ProxOperator, tau: jnp.ndarray) -> jnp.ndarr
     tau = jnp.asarray(tau, jnp.float32)
     tau_b = tau.reshape((-1,) + (1,) * 3) if tau.ndim else tau
     sf = op.sf
+    if sf == 1:
+        # Algebraically identical to the general formula below but free of the
+        # catastrophic (FR - FBC*FB*FR/(|FB|^2+tau))/tau cancellation: for sf=1
+        # the solve reduces to FX = (FBFy + tau*F0) / (|FB|^2 + tau).  At the
+        # tiny tau=rho_t values early in a DiffPIR trajectory this is the
+        # difference between fp32-exact and ~1e-2 noise.
+        F0 = jnp.fft.fft2(x0, axes=(1, 2))
+        FX = (op.FBFy + tau_b * F0) / (op.F2B + tau_b)
+        return jnp.real(jnp.fft.ifft2(FX, axes=(1, 2)))
     FR = op.FBFy + jnp.fft.fft2(tau_b * x0, axes=(1, 2))
     FBR = alias_block_mean(op.FB * FR, sf)
     invW = alias_block_mean(op.F2B, sf)

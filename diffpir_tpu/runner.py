@@ -1,0 +1,228 @@
+"""Evaluation runner: dataset -> degrade -> restore -> metrics -> artifacts.
+
+The L5 driver of the framework (reference analogue: ``main_ddpir.py:172-595``
+``main``/``test_rho``).  One jitted restore function per task covers the whole
+device-sharded batch; the sampling trajectory inside is a single ``lax.scan``
+(``diffpir_tpu.sampler``), so each batch is exactly one XLA program launch.
+
+Reference-parity details:
+  * per-step tables built once per (lambda, zeta) setting (``main_ddpir.py:274-286``)
+  * metrics: batched PSNR on [-1,1] with max_pixel=2, PSNR-Y via the BT.601
+    luma combo, running averages in the log (``main_ddpir.py:482-535``)
+  * the reference's hard-coded hyperparameter sweeps (``main_ddpir.py:548-580``)
+    are exposed as ``reference_sweep`` — note the defaults it implies:
+    deblur runs at (7*lambda, 3*zeta), SR sweeps lambda in {2..12}*lambda.
+  * artifacts: restored PNGs (save_E), degraded inputs (save_L), .log file
+    under ``results/<result_name>/``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpir_tpu.config import TaskConfig
+from diffpir_tpu.data import Batch, make_batches, prepare_images
+from diffpir_tpu.models.zoo import resolve_model
+from diffpir_tpu.ops.fft_prox import precompute
+from diffpir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diffpir_tpu.sampler import (
+    diffpir_sample, init_x, make_cubic_sr_prox, make_denoiser, make_fft_prox,
+    make_inpaint_prox,
+)
+from diffpir_tpu.schedule import NoiseSchedule, build_plan
+from diffpir_tpu.utils import image as im
+
+__all__ = ["Runner", "reference_sweep", "setup_logger"]
+
+log = logging.getLogger("diffpir_tpu")
+
+
+def setup_logger(name: str, log_path: Optional[str] = None) -> logging.Logger:
+    """File+stream logger (reference ``utils/utils_logger.py:26-45``)."""
+    lg = logging.getLogger(name)
+    if lg.handlers:  # note: not hasHandlers() — that also sees root handlers
+        return lg
+    lg.setLevel(logging.INFO)
+    lg.propagate = False
+    fmt = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s", "%y-%m-%d %H:%M:%S")
+    if log_path:
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
+        fh = logging.FileHandler(log_path, "a")
+        fh.setFormatter(fmt)
+        lg.addHandler(fh)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    lg.addHandler(sh)
+    return lg
+
+
+def reference_sweep(cfg: TaskConfig) -> list[tuple[float, float]]:
+    """(lambda, zeta) settings the reference's main() actually runs
+    (``main_ddpir.py:548-580``)."""
+    if cfg.task == "sr":
+        return [(cfg.lambda_ * i, cfg.zeta) for i in range(2, 13)]
+    if cfg.task == "deblur":
+        return [(cfg.lambda_ * 7, cfg.zeta * 3)]
+    return [(cfg.lambda_, cfg.zeta)]
+
+
+class Runner:
+    """Bind config + model once; restore batches / run full evaluations."""
+
+    def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True):
+        self.cfg = cfg
+        self.schedule = NoiseSchedule.linear(
+            cfg.beta_start, cfg.beta_end, cfg.num_train_timesteps)
+
+        sigma_start = cfg.t_start_sigma
+        self.t_start = (cfg.num_train_timesteps - 1 if sigma_start is None
+                        else self.schedule.sigma_to_t(sigma_start))
+        self.noise_model_t = (
+            self.schedule.sigma_to_t(2 * cfg.noise_level_model)
+            if cfg.skip_noise_model_t else 0)
+
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.module, params = resolve_model(
+            cfg.model_name, cfg.model_zoo, dtype=dtype, use_pallas=cfg.use_pallas)
+
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = make_mesh(cfg.mesh_shape)
+            params = replicate(params, self.mesh)
+        self.params = params
+
+        self.den = make_denoiser(
+            lambda p, x, t: self.module.apply({"params": p}, x, t),
+            params, self.schedule, compute_dtype=dtype)
+        self._restore_jit = {}
+
+    # ------------------------------------------------------------------
+    def _plan(self, lambda_: float, zeta: float):
+        return build_plan(
+            self.schedule, iter_num=self.cfg.iter_num, skip_type=self.cfg.skip_type,
+            lambda_=lambda_, zeta=zeta, eta=self.cfg.eta, sigma_y=self.cfg.sigma,
+            t_start=self.t_start, noise_model_t=self.noise_model_t)
+
+    def _restore_fn(self, plan, zeta: float):
+        """Build the jitted whole-batch restore function for the current task."""
+        cfg = self.cfg
+        task = cfg.task
+        sa0 = float(plan.sqrt_acp_t[0]) if plan.t[0] == self.t_start else float(
+            self.schedule.sqrt_alphas_cumprod[self.t_start])
+        s1m0 = float(np.sqrt(1 - self.schedule.alphas_cumprod[self.t_start]))
+
+        def restore(params, y, kernel, mask, key):
+            import dataclasses as _dc
+
+            den = _dc.replace(self.den, params=params)
+            k_init, k_samp = jax.random.split(key)
+            x = init_x(task, y, mask, cfg.sf,
+                       sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0, key=k_init)
+            if task == "inpaint":
+                prox = make_inpaint_prox(y, mask, cfg.guidance_scale)
+            elif task == "deblur" or (task == "sr" and cfg.sr_mode == "blur"):
+                prox = make_fft_prox(precompute(y, kernel, cfg.sf), cfg.guidance_scale)
+            else:  # sr cubic
+                prox = make_cubic_sr_prox(
+                    y, cfg.sf, gamma=cfg.gamma, in_iter=cfg.inIter,
+                    hr_hw=(y.shape[1] * cfg.sf, y.shape[2] * cfg.sf))
+            return diffpir_sample(
+                den, prox, plan, x, k_samp, zeta=zeta,
+                iter_num_U=cfg.iter_num_U, generate_mode=cfg.generate_mode,
+                y=y, mask=mask,
+                recover_known=(task == "inpaint"
+                               and cfg.generate_mode in ("repaint", "DiffPIR")))
+
+        return jax.jit(restore)
+
+    def restore_batch(self, batch: Batch, lambda_: Optional[float] = None,
+                      zeta: Optional[float] = None, seed: int = 0) -> np.ndarray:
+        """Restore one batch; returns float [0,1] (B,H,W,C)."""
+        cfg = self.cfg
+        lambda_ = cfg.lambda_ if lambda_ is None else lambda_
+        zeta = cfg.zeta if zeta is None else zeta
+        key = (lambda_, zeta, batch.img_L.shape, batch.kernel.shape)
+        if key not in self._restore_jit:
+            plan = self._plan(lambda_, zeta)
+            self._restore_jit[key] = self._restore_fn(plan, zeta)
+        fn = self._restore_jit[key]
+
+        y = jnp.asarray(batch.img_L)
+        kern = jnp.asarray(batch.kernel)
+        mask = jnp.asarray(batch.mask)
+        if self.mesh is not None:
+            y = shard_batch(y, self.mesh)
+            kern = shard_batch(kern, self.mesh)
+            mask = shard_batch(mask, self.mesh)
+        out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed))
+        return np.asarray(jax.device_get(out))
+
+    # ------------------------------------------------------------------
+    def evaluate(self, lambda_: Optional[float] = None,
+                 zeta: Optional[float] = None,
+                 paths: Optional[list[str]] = None,
+                 save: Optional[bool] = None) -> dict:
+        """Full test-set evaluation with reference-parity metrics and logging."""
+        cfg = self.cfg
+        lambda_ = cfg.lambda_ if lambda_ is None else lambda_
+        zeta = cfg.zeta if zeta is None else zeta
+        save = (cfg.save_E or cfg.save_L) if save is None else save
+        lg = setup_logger(cfg.result_name,
+                          os.path.join(cfg.E_path, cfg.result_name + ".log")
+                          if save else None)
+        lg.info(f"eta:{cfg.eta}, zeta:{zeta}, lambda:{lambda_}, "
+                f"guidance_scale:{cfg.guidance_scale}")
+
+        np.random.seed(cfg.seed)
+        items = prepare_images(cfg, paths)
+        batches = make_batches(items, cfg.batch_size,
+                               pad_to_batch=self.mesh is not None)
+
+        psnrs, psnrs_y, times, n_imgs = [], [], [], 0
+        for bi, batch in enumerate(batches):
+            t0 = time.perf_counter()
+            x0 = self.restore_batch(batch, lambda_, zeta, seed=cfg.seed + bi)
+            times.append(time.perf_counter() - t0)
+            nb = len(batch.names)
+            x0 = x0[:nb]
+            gt = batch.img_H[:nb].astype(np.float32) / 255.0
+
+            psnr = im.psnr_batch(x0 * 2 - 1, gt * 2 - 1)
+            psnrs.append(psnr * nb)
+            if cfg.n_channels == 3:
+                psnr_y = im.psnr_batch(im.rgb_to_y_batch(x0 * 2 - 1),
+                                       im.rgb_to_y_batch(gt * 2 - 1))
+                psnrs_y.append(psnr_y * nb)
+            n_imgs += nb
+            lg.info(f"batch{bi + 1:->4d}--> PSNR: {psnr:.4f}dB "
+                    f"({nb} imgs, {times[-1]:.2f}s)")
+            if save and cfg.save_E:
+                im.imsave_batch(
+                    x0, batch.names, cfg.E_path,
+                    f"{cfg.model_name}_x{cfg.sf}_lambda{lambda_:.4f}_zeta{zeta:.4f}_")
+            if save and cfg.save_L:
+                im.imsave_batch(batch.img_L[:nb], batch.names, cfg.E_path,
+                                f"LR_x{cfg.sf}_")
+
+        results = {
+            "psnr": sum(psnrs) / n_imgs,
+            "psnr_y": sum(psnrs_y) / n_imgs if psnrs_y else None,
+            "n_images": n_imgs,
+            "images_per_sec": n_imgs / sum(times) if times else 0.0,
+            "lambda_": lambda_, "zeta": zeta,
+        }
+        lg.info(f"-----------> Average PSNR(RGB) of ({cfg.testset_name}): "
+                f"{results['psnr']:.4f} dB | {results['images_per_sec']:.3f} img/s")
+        return results
+
+    def evaluate_sweep(self, **kw) -> list[dict]:
+        return [self.evaluate(lambda_=l, zeta=z, **kw)
+                for l, z in reference_sweep(self.cfg)]

@@ -1,0 +1,227 @@
+"""Image I/O, dtype conversion, geometric augmentation, and quality metrics.
+
+Capability parity with reference ``utils/utils_image.py`` (L1 layer), with two
+implementation differences: PIL replaces cv2 for file I/O (cv2 absent from the
+TPU image), and all array code is channels-last numpy/jnp (no NCHW tensors).
+
+Metric semantics pinned to the reference:
+  * ``psnr``        == ``calculate_psnr``        (uint8 [0,255], border crop,
+                        fp64 MSE; ``utils_image.py:584-599``)
+  * ``psnr_batch``  == ``calculate_psnr_batch``  (per-image MSE over CHW, then
+                        mean of PSNRs, max_pixel=2 for [-1,1] tensors, eps
+                        regularizer; ``utils_image.py:601-610``)
+  * ``ssim``        == ``calculate_ssim``        (MATLAB SSIM: 11x11 Gaussian
+                        sigma 1.5, valid-region crop; ``utils_image.py:616-661``)
+  * ``rgb_to_y_batch`` == ``rgb2ycbcr_batch(only_y=True)`` — the BT.601 luma
+                        combo applied to whatever domain the caller passes
+                        (the reference feeds [-1,1] images; ``utils_image.py:470-490``)
+  * ``augment``     == ``augment_img`` 8-fold dihedral modes
+                        (``utils_image.py:333-351``)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+__all__ = [
+    "imread_uint", "imsave", "imsave_batch", "uint2single", "single2uint",
+    "modcrop", "shave", "augment", "augment_inverse",
+    "psnr", "psnr_batch", "ssim", "rgb_to_y", "rgb_to_y_batch",
+    "list_images",
+]
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".tif", ".tiff")
+
+
+# ---------------------------------------------------------------------------
+# I/O
+# ---------------------------------------------------------------------------
+
+def list_images(root: str) -> list[str]:
+    """Sorted recursive listing of image files (reference ``get_image_paths``)."""
+    paths = []
+    for dirpath, _, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if f.lower().endswith(IMG_EXTENSIONS):
+                paths.append(os.path.join(dirpath, f))
+    return paths
+
+
+def imread_uint(path: str, n_channels: int = 3) -> np.ndarray:
+    """Read an image as uint8 HxWxC (RGB for 3 channels, like the reference
+    after its BGR->RGB flip, ``utils_image.py:147-159``)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if n_channels == 1:
+        img = img.convert("L")
+        arr = np.asarray(img, np.uint8)[:, :, None]
+    else:
+        img = img.convert("RGB")
+        arr = np.asarray(img, np.uint8)
+    return arr
+
+
+def imsave(img: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    img = np.squeeze(img)
+    if img.dtype != np.uint8:
+        img = single2uint(img)
+    Image.fromarray(img).save(path)
+
+
+def imsave_batch(imgs: np.ndarray, names: Sequence[str], out_dir: str,
+                 prefix: str = "") -> None:
+    """Save a batch (B,H,W,C); filenames ``<prefix><stem>.png``."""
+    os.makedirs(out_dir, exist_ok=True)
+    for img, name in zip(imgs, names):
+        stem = os.path.splitext(os.path.basename(name))[0]
+        imsave(img, os.path.join(out_dir, f"{prefix}{stem}.png"))
+
+
+# ---------------------------------------------------------------------------
+# dtype lattice
+# ---------------------------------------------------------------------------
+
+def uint2single(img: np.ndarray) -> np.ndarray:
+    return np.float32(img / 255.0)
+
+
+def single2uint(img: np.ndarray) -> np.ndarray:
+    return np.uint8((np.clip(img, 0.0, 1.0) * 255.0).round())
+
+
+def modcrop(img: np.ndarray, scale: int) -> np.ndarray:
+    """Crop H, W to multiples of `scale` (reference ``utils_image.py:538-551``)."""
+    h, w = img.shape[:2]
+    return img[: h - h % scale, : w - w % scale, ...]
+
+
+def shave(img: np.ndarray, border: int = 0) -> np.ndarray:
+    h, w = img.shape[:2]
+    return img[border : h - border, border : w - border, ...]
+
+
+# ---------------------------------------------------------------------------
+# Dihedral augmentation (x8 self-ensemble support)
+# ---------------------------------------------------------------------------
+
+def augment(img: np.ndarray, mode: int) -> np.ndarray:
+    """Modes 0-7 as in reference ``augment_img`` (``utils_image.py:333-351``)."""
+    if mode == 0:
+        return img
+    if mode == 1:
+        return np.flipud(np.rot90(img))
+    if mode == 2:
+        return np.flipud(img)
+    if mode == 3:
+        return np.rot90(img, k=3)
+    if mode == 4:
+        return np.flipud(np.rot90(img, k=2))
+    if mode == 5:
+        return np.rot90(img)
+    if mode == 6:
+        return np.rot90(img, k=2)
+    if mode == 7:
+        return np.flipud(np.rot90(img, k=3))
+    raise ValueError(mode)
+
+
+def augment_inverse(img: np.ndarray, mode: int) -> np.ndarray:
+    """Inverse of ``augment`` (reference x8 ensemble uses mode 8-i for i>3)."""
+    inv = {0: 0, 1: 1, 2: 2, 3: 5, 4: 4, 5: 3, 6: 6, 7: 7}
+    return augment(img, inv[mode])
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def psnr(img1: np.ndarray, img2: np.ndarray, border: int = 0) -> float:
+    """PSNR between uint8-range [0,255] images, border-cropped, fp64."""
+    if img1.shape != img2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    img1 = shave(img1, border).astype(np.float64)
+    img2 = shave(img2, border).astype(np.float64)
+    mse = np.mean((img1 - img2) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20 * math.log10(255.0 / math.sqrt(mse))
+
+
+def psnr_batch(batch1: np.ndarray, batch2: np.ndarray, max_pixel: float = 2.0,
+               eps: float = 1e-10) -> float:
+    """Mean per-image PSNR over a batch (any layout; reduces all but axis 0)."""
+    if batch1.shape != batch2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    axes = tuple(range(1, batch1.ndim))
+    mse = np.mean((np.float64(batch1) - np.float64(batch2)) ** 2, axis=axes)
+    vals = np.where(mse == 0, np.inf, 20 * np.log10(max_pixel / np.sqrt(mse + eps)))
+    vals = np.where(np.isnan(vals), 0.0, vals)
+    return float(np.mean(vals))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    # cv2.getGaussianKernel equivalent
+    ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    k = np.exp(-(ax**2) / (2.0 * sigma**2))
+    k /= k.sum()
+    return np.outer(k, k)
+
+
+def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
+    from scipy.signal import convolve2d
+
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    img1 = img1.astype(np.float64)
+    img2 = img2.astype(np.float64)
+    w = _gaussian_window()
+    # reference uses cv2.filter2D (correlation, reflect border) then crops to
+    # the valid region [5:-5]; valid-mode convolution with the symmetric
+    # window is identical there.
+    mu1 = convolve2d(img1, w, mode="valid")
+    mu2 = convolve2d(img2, w, mode="valid")
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    s1 = convolve2d(img1**2, w, mode="valid") - mu1_sq
+    s2 = convolve2d(img2**2, w, mode="valid") - mu2_sq
+    s12 = convolve2d(img1 * img2, w, mode="valid") - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return float(ssim_map.mean())
+
+
+def ssim(img1: np.ndarray, img2: np.ndarray, border: int = 0) -> float:
+    """MATLAB-style SSIM on [0,255] images; RGB averages per-channel SSIM."""
+    if img1.shape != img2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    img1, img2 = shave(img1, border), shave(img2, border)
+    if img1.ndim == 2:
+        return _ssim_single(img1, img2)
+    if img1.shape[2] == 1:
+        return _ssim_single(img1[..., 0], img2[..., 0])
+    return float(np.mean([_ssim_single(img1[..., c], img2[..., c])
+                          for c in range(img1.shape[2])]))
+
+
+def rgb_to_y(img: np.ndarray) -> np.ndarray:
+    """MATLAB rgb2ycbcr Y channel. uint8 in -> uint8 out; float [0,1] -> [0,1]."""
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    y = x @ np.array([65.481, 128.553, 24.966]) / 255.0 + 16.0
+    if in_type == np.uint8:
+        return y.round().astype(np.uint8)
+    return (y / 255.0).astype(in_type)
+
+
+def rgb_to_y_batch(batch: np.ndarray) -> np.ndarray:
+    """BT.601 luma combo on (B,H,W,3) in the caller's domain
+    (the reference applies it directly to [-1,1] images for PSNR-Y)."""
+    return (0.299 * batch[..., 0] + 0.587 * batch[..., 1]
+            + 0.114 * batch[..., 2])[..., None]

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""DiffPIR-TPU unified entry point.
+
+Public surface parity with the reference driver
+(``/root/reference/main_ddpir.py``):
+
+    python main_ddpir.py --opt configs/{sisr,deblur,inpaint}.yaml
+
+plus TPU-native extras: ``--no-sweep`` (single (lambda, zeta) run instead of
+the reference's hard-coded sweeps), ``--set key=value`` config overrides, and
+``--cpu`` to force the CPU backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--opt", type=str, required=True, help="Path to option YAML file.")
+    p.add_argument("--no-sweep", action="store_true",
+                   help="run only the configured (lambda, zeta), not the "
+                        "reference sweep grid")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override (repeatable)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--json", action="store_true", help="print results as JSON")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    cfg = load_config(args.opt, overrides)
+
+    if cfg.save_E or cfg.save_L:
+        os.makedirs(cfg.E_path, exist_ok=True)
+        shutil.copyfile(args.opt, os.path.join(cfg.E_path, "config.yaml"))
+
+    runner = Runner(cfg)
+    if args.no_sweep:
+        results = [runner.evaluate()]
+    else:
+        results = runner.evaluate_sweep()
+
+    if args.json:
+        json.dump(results, sys.stdout, indent=2, default=float)
+        print()
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,21 @@ def reference_available() -> bool:
 
 
 def add_reference_to_path():
-    """Allow tests to import the PyTorch reference for golden-value parity."""
+    """Allow tests to import the PyTorch reference for golden-value parity.
+
+    Stubs cv2/torchvision (absent in this env; reference ``utils_image``
+    imports them at module top level but the functions under test don't
+    need them).
+    """
+    import types
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    sys.modules.setdefault("cv2", types.ModuleType("cv2"))
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.make_grid = lambda *a, **k: None
+        tv.utils = tv_utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv_utils

@@ -1,0 +1,170 @@
+"""Diffusion process (q/p/ddim/vlb/training losses) vs the torch reference."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+if not reference_available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+add_reference_to_path()
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from guided_diffusion import gaussian_diffusion as gd  # noqa: E402
+from guided_diffusion.respace import SpacedDiffusion  # noqa: E402
+
+from diffpir_tpu.diffusion import (  # noqa: E402
+    Diffusion, ModelMeanType, ModelVarType, discretized_gaussian_log_likelihood,
+    normal_kl,
+)
+from diffpir_tpu.schedule import NoiseSchedule  # noqa: E402
+
+T = 100
+
+
+@pytest.fixture(scope="module")
+def pair():
+    sched = NoiseSchedule.named("linear", T)
+    ref = gd.GaussianDiffusion(
+        betas=sched.betas, model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE, loss_type=gd.LossType.MSE)
+    ours = Diffusion(sched, ModelMeanType.EPSILON, ModelVarType.LEARNED_RANGE)
+    return ref, ours
+
+
+def _fake_model_np(x_nchw, t):
+    """Deterministic pseudo-model: eps = tanh(rolled x), var raw = sin(x)."""
+    eps = np.tanh(np.roll(x_nchw, 1, axis=-1))
+    var = np.sin(x_nchw)
+    return np.concatenate([eps, var], axis=1)
+
+
+def _inputs():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 3, 8, 8)).astype(np.float32)
+    t = np.array([0, 3, 50, 99])
+    return x, t
+
+
+def test_q_sample_and_posterior(pair):
+    ref, ours = pair
+    x, t = _inputs()
+    noise = np.random.default_rng(1).standard_normal(x.shape).astype(np.float32)
+    r = ref.q_sample(torch.from_numpy(x), torch.from_numpy(t),
+                     torch.from_numpy(noise)).numpy()
+    o = ours.q_sample(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+                      jnp.asarray(noise.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), r, atol=1e-5)
+
+
+def test_p_mean_variance_learned_range(pair):
+    ref, ours = pair
+    x, t = _inputs()
+    out_np = _fake_model_np(x, t)
+
+    r = ref.p_mean_variance(
+        lambda xt, tt: torch.from_numpy(out_np), torch.from_numpy(x),
+        torch.from_numpy(t), clip_denoised=True)
+    o = ours.p_mean_variance(
+        None, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        clip_denoised=True,
+        model_output=jnp.asarray(out_np.transpose(0, 2, 3, 1)))
+    for k_ref, k_ours in [("mean", "mean"), ("log_variance", "log_variance"),
+                          ("pred_xstart", "pred_xstart")]:
+        np.testing.assert_allclose(
+            np.asarray(o[k_ours]).transpose(0, 3, 1, 2), r[k_ref].numpy(),
+            atol=2e-5, err_msg=k_ref)
+
+
+def test_vb_terms_match(pair):
+    ref, ours = pair
+    x, t = _inputs()
+    x0 = np.clip(x, -1, 1)
+    out_np = _fake_model_np(x, t)
+    r = ref._vb_terms_bpd(
+        lambda xt, tt: torch.from_numpy(out_np), torch.from_numpy(x0),
+        torch.from_numpy(x), torch.from_numpy(t), clip_denoised=False)
+    o = ours.vb_terms(None, jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+                      model_output=jnp.asarray(out_np.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(o), r["output"].numpy(), atol=1e-4)
+
+
+def test_training_losses_match(pair):
+    ref, ours = pair
+    x, t = _inputs()
+    x0 = np.clip(x, -1, 1)
+    noise = np.random.default_rng(2).standard_normal(x.shape).astype(np.float32)
+
+    r = ref.training_losses(
+        lambda xt, tt: torch.from_numpy(
+            _fake_model_np(xt.numpy(), tt.numpy())).float(),
+        torch.from_numpy(x0), torch.from_numpy(t), noise=torch.from_numpy(noise))
+
+    def model_fn(xt, tt):
+        out = _fake_model_np(np.asarray(xt).transpose(0, 3, 1, 2), np.asarray(tt))
+        return jnp.asarray(out.transpose(0, 2, 3, 1))
+
+    o = ours.training_losses(model_fn, jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                             jnp.asarray(t), jax.random.PRNGKey(0),
+                             noise=jnp.asarray(noise.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(o["mse"]), r["mse"].numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o["vb"]), r["vb"].numpy(), atol=1e-4)
+
+
+def test_kl_and_discretized_ll_formulas():
+    add_reference_to_path()
+    from guided_diffusion import losses as ref_losses
+
+    rng = np.random.default_rng(3)
+    a, b = rng.standard_normal((2, 16)).astype(np.float32)
+    la, lb = rng.standard_normal((2, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(normal_kl(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b),
+                             jnp.asarray(lb))),
+        ref_losses.normal_kl(torch.from_numpy(a), torch.from_numpy(la),
+                             torch.from_numpy(b), torch.from_numpy(lb)).numpy(),
+        rtol=1e-5, atol=1e-5)
+    x = np.clip(rng.standard_normal(16), -1, 1).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(discretized_gaussian_log_likelihood(
+            jnp.asarray(x), means=jnp.asarray(a), log_scales=jnp.asarray(la))),
+        ref_losses.discretized_gaussian_log_likelihood(
+            torch.from_numpy(x), means=torch.from_numpy(a),
+            log_scales=torch.from_numpy(la)).numpy(),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_deterministic_matches(pair):
+    ref, ours = pair
+    x, t = _inputs()
+    t = np.array([5, 20, 60, 99])  # avoid t=0 noise-gate asymmetry
+    out_np = _fake_model_np(x, t)
+    r = ref.ddim_sample(lambda xt, tt: torch.from_numpy(out_np),
+                        torch.from_numpy(x), torch.from_numpy(t), eta=0.0)
+    # eta=0 -> deterministic; wrap model_output through p_mean_variance path
+    o = ours.ddim_sample(
+        lambda xt, tt: jnp.asarray(out_np.transpose(0, 2, 3, 1)),
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        jax.random.PRNGKey(0), eta=0.0)
+    np.testing.assert_allclose(np.asarray(o["sample"]).transpose(0, 3, 1, 2),
+                               r["sample"].numpy(), atol=2e-5)
+
+
+def test_respaced_sampling_tables():
+    """SpacedDiffusion == Diffusion over the respaced schedule."""
+    sched = NoiseSchedule.named("linear", T)
+    use = sorted({0, 10, 35, 70, 99})
+    ref = SpacedDiffusion(
+        use_timesteps=use, betas=sched.betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_SMALL, loss_type=gd.LossType.MSE)
+    sub, tmap = sched.respaced(use)
+    ours = Diffusion(sub, ModelMeanType.EPSILON, ModelVarType.FIXED_SMALL)
+    np.testing.assert_allclose(ours.schedule.alphas_cumprod, ref.alphas_cumprod,
+                               rtol=1e-10)
+    np.testing.assert_array_equal(tmap, ref.timestep_map)

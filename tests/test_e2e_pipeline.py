@@ -1,0 +1,100 @@
+"""End-to-end pipeline smoke: config -> data -> runner -> metrics -> artifacts.
+
+Uses the tiny random-weight fixture model on small synthetic images; checks
+shapes, artifact files, and that metrics flow through. Quality is asserted
+only loosely (random UNet ~ weak denoiser, but the data prox alone drives
+PSNR well above the degraded input for inpainting at low noise).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffpir_tpu.config import load_config
+from diffpir_tpu.runner import Runner, reference_sweep
+from diffpir_tpu.utils import image as im
+
+IMG = 64
+
+
+@pytest.fixture()
+def tiny_testset(tmp_path):
+    rng = np.random.default_rng(0)
+    tdir = tmp_path / "testsets" / "tiny"
+    tdir.mkdir(parents=True)
+    for i in range(3):
+        # piecewise-smooth image so restoration metrics are meaningful
+        x = np.zeros((IMG, IMG, 3), np.float32)
+        x[:, :] = rng.random(3)
+        x[16:48, 16:48] = rng.random(3)
+        im.imsave(im.single2uint(x), str(tdir / f"img{i}.png"))
+    return tmp_path
+
+
+def _config(tmp_path, task, **over):
+    overrides = dict(task=task, model_name="tiny_test", testset_name="tiny",
+                     cwd=str(tmp_path), iter_num=4, batch_size=2, seed=0,
+                     save_E=True, save_L=False, dtype="float32",
+                     noise_level_img=2.0, skip_type="quad")
+    overrides.update(over)
+    return load_config(None, overrides)
+
+
+def test_inpaint_end_to_end(tiny_testset):
+    cfg = _config(tiny_testset, "inpaint", mask_type="random",
+                  mask_prob_range=[0.3, 0.3], zeta=1.0)
+    runner = Runner(cfg, use_mesh=False)
+    res = runner.evaluate()
+    assert res["n_images"] == 3
+    assert np.isfinite(res["psnr"]) and np.isfinite(res["psnr_y"])
+    saved = os.listdir(cfg.E_path)
+    assert sum(f.endswith(".png") for f in saved) == 3
+    assert any(f.endswith(".log") for f in saved)
+    # inpainting recovers known (70%) pixels exactly; unknown pixels come from
+    # the random-weight denoiser, so ~11 dB is the expected floor (a fully
+    # masked-to-zero degraded image sits near 8 dB)
+    assert res["psnr"] > 9.5
+
+
+def test_deblur_end_to_end(tiny_testset):
+    cfg = _config(tiny_testset, "deblur", blur_mode="Gaussian", kernel_size=9,
+                  zeta=0.1, save_E=False)
+    cfg.kernel_std = 0.4  # mild, well-conditioned blur for the fixture
+    runner = Runner(cfg, use_mesh=False)
+    res = runner.evaluate(save=False)
+    assert res["n_images"] == 3 and np.isfinite(res["psnr"])
+
+
+def test_sr_end_to_end(tiny_testset):
+    cfg = _config(tiny_testset, "sr", sf=2, sr_mode="blur", zeta=0.25,
+                  save_E=False)
+    runner = Runner(cfg, use_mesh=False)
+    res = runner.evaluate(save=False)
+    assert res["n_images"] == 3 and np.isfinite(res["psnr"])
+
+
+def test_sr_cubic_mode(tiny_testset):
+    cfg = _config(tiny_testset, "sr", sf=2, sr_mode="cubic", save_E=False)
+    runner = Runner(cfg, use_mesh=False)
+    res = runner.evaluate(save=False)
+    assert np.isfinite(res["psnr"])
+
+
+def test_batch_sharded_over_mesh(tiny_testset):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device backend")
+    cfg = _config(tiny_testset, "inpaint", batch_size=8, save_E=False)
+    runner = Runner(cfg, use_mesh=True)
+    assert runner.mesh is not None
+    res = runner.evaluate(save=False)
+    assert res["n_images"] == 3  # padded batch sliced back to real images
+
+
+def test_reference_sweep_grids(tiny_testset):
+    sr = _config(tiny_testset, "sr")
+    assert len(reference_sweep(sr)) == 11
+    db = _config(tiny_testset, "deblur", zeta=0.1)
+    assert reference_sweep(db) == [(7.0, pytest.approx(0.3))]

@@ -115,6 +115,39 @@ def test_prox_solve_is_the_exact_minimizer():
     np.testing.assert_allclose(ours, direct, atol=1e-4)
 
 
+def test_sf1_stable_form_beats_general_form():
+    """At tiny tau (early-trajectory rho), the sf=1 rearrangement must track the
+    fp64 exact solution far better than the reference's /tau formulation."""
+    rng = np.random.default_rng(7)
+    n = 16
+    k = fspecial_gaussian(5, 1.2).astype(np.float32)
+    x0 = rng.random((1, n, n, 3)).astype(np.float32)
+    y = np.asarray(blur_circular(jnp.asarray(rng.random((1, n, n, 3)).astype(np.float32)),
+                                 jnp.asarray(k)[None]))
+    tau = 1e-5
+
+    # fp64 ground truth via the stable spectral formula
+    otf = np.fft.fft2(np.roll(np.pad(k.astype(np.float64), ((0, n - 5), (0, n - 5))),
+                              (-2, -2), axis=(0, 1)))[None, :, :, None]
+    Fy = np.fft.fft2(y.astype(np.float64), axes=(1, 2))
+    F0 = np.fft.fft2(x0.astype(np.float64), axes=(1, 2))
+    exact = np.real(np.fft.ifft2((np.conj(otf) * Fy + tau * F0) /
+                                 (np.abs(otf) ** 2 + tau), axes=(1, 2)))
+
+    op = precompute(jnp.asarray(y), jnp.asarray(k)[None], 1)
+    ours = np.asarray(prox_solve(jnp.asarray(x0), op, tau))
+    # fp32 transcription of the reference's general-sf formula at sf=1
+    FR = np.asarray(op.FBFy) + np.fft.fft2(tau * x0, axes=(1, 2)).astype(np.complex64)
+    invWBR = (np.asarray(op.FB) * FR) / (np.asarray(op.F2B) + tau)
+    FX = (FR - np.asarray(op.FBC) * invWBR) / tau
+    ref_form = np.real(np.fft.ifft2(FX, axes=(1, 2)))
+
+    err_ours = np.abs(ours - exact).max()
+    err_ref = np.abs(ref_form - exact).max()
+    assert err_ours < 1e-4
+    assert err_ours < err_ref / 10
+
+
 def test_blur_circular_matches_scipy_wrap():
     from scipy import ndimage
 
