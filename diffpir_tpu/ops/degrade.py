@@ -36,8 +36,11 @@ from scipy.ndimage import gaussian_filter
 from scipy.signal import convolve2d
 
 __all__ = [
-    "fspecial_gaussian", "gaussian_psf", "motion_psf", "trajectory_psf",
-    "box_mask", "random_mask", "make_mask",
+    "fspecial_gaussian", "fspecial_laplacian", "fspecial_average",
+    "fspecial_prewitt", "fspecial_sobel", "fspecial",
+    "gaussian_psf", "motion_psf", "trajectory_psf",
+    "box_mask", "random_mask", "make_mask", "shepard_initialize",
+    "get_rho_sigma", "shift_pixel",
     "blur_circular", "blur_reflect", "classical_degradation", "add_awgn",
 ]
 
@@ -54,6 +57,105 @@ def fspecial_gaussian(hsize: int, sigma: float) -> np.ndarray:
     h[h < np.finfo(float).eps * h.max()] = 0
     s = h.sum()
     return h / s if s != 0 else h
+
+
+def fspecial_laplacian(alpha: float) -> np.ndarray:
+    """MATLAB fspecial('laplacian', alpha) (reference ``utils_deblur.py:502-508``)."""
+    alpha = max(0.0, min(alpha, 1.0))
+    h1 = alpha / (alpha + 1)
+    h2 = (1 - alpha) / (alpha + 1)
+    return np.array([[h1, h2, h1], [h2, -4 / (alpha + 1), h2], [h1, h2, h1]])
+
+
+def fspecial_average(hsize: int = 3) -> np.ndarray:
+    return np.ones((hsize, hsize)) / hsize**2
+
+
+def fspecial_prewitt() -> np.ndarray:
+    return np.array([[1, 1, 1], [0, 0, 0], [-1, -1, -1]], dtype=np.float64)
+
+
+def fspecial_sobel() -> np.ndarray:
+    return np.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=np.float64)
+
+
+def fspecial(filter_type: str, *args, **kwargs) -> np.ndarray:
+    """MATLAB-style filter factory (reference ``utils_deblur.py:527-547``)."""
+    table = {"gaussian": fspecial_gaussian, "laplacian": fspecial_laplacian,
+             "average": fspecial_average, "prewitt": fspecial_prewitt,
+             "sobel": fspecial_sobel}
+    return table[filter_type](*args, **kwargs)
+
+
+def get_rho_sigma(sigma: float = 2.55 / 255, iter_num: int = 15,
+                  model_sigma2: float = 2.55):
+    """DPIR rho/sigma log-schedule (reference ``utils_inpaint.py:15-25``)."""
+    model_sigma1 = 49.0
+    sigmas = np.logspace(np.log10(model_sigma1), np.log10(model_sigma2),
+                         iter_num) / 255.0
+    rhos = [(sigma**2) / (s**2) / 3 for s in sigmas]
+    return rhos, sigmas
+
+
+def shift_pixel(x: np.ndarray, sf: int, upper_left: bool = True) -> np.ndarray:
+    """Half-pixel grid shift compensating classical sf-fold downsampling.
+
+    Parity with reference ``utils_sisr.py:118-144`` (bilinear resample at
+    coordinates shifted by (sf-1)/2, clipped at the border).
+    """
+    from scipy.interpolate import RegularGridInterpolator
+
+    h, w = x.shape[:2]
+    shift = (sf - 1) * 0.5
+    xv, yv = np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64)
+    x1 = np.clip(xv + (shift if upper_left else -shift), 0, w - 1)
+    y1 = np.clip(yv + (shift if upper_left else -shift), 0, h - 1)
+    yy, xx = np.meshgrid(y1, x1, indexing="ij")
+    pts = np.stack([yy.ravel(), xx.ravel()], axis=1)
+
+    def interp(ch):
+        f = RegularGridInterpolator((yv, xv), ch, method="linear")
+        return f(pts).reshape(h, w)
+
+    if x.ndim == 2:
+        return interp(x)
+    out = x.copy().astype(np.float64)
+    for c in range(x.shape[-1]):
+        out[:, :, c] = interp(x[:, :, c].astype(np.float64))
+    return out
+
+
+def shepard_initialize(image: np.ndarray, measurement_mask: np.ndarray,
+                       window: int = 5, p: int = 2) -> np.ndarray:
+    """Inverse-distance-weighted (Shepard) inpainting initialization.
+
+    Vectorized equivalent of reference ``utils_inpaint.py:28-63`` (which loops
+    per pixel): each unobserved pixel becomes the IDW average of observed
+    pixels in its (window x window) neighborhood, weights 1/(di^p + dj^p).
+    """
+    from scipy.signal import convolve2d
+
+    img = image.astype(np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    m = measurement_mask.astype(np.float64)
+    wing = window // 2
+
+    # weight stencil over offsets; center excluded (distance 0 is unobserved
+    # anyway when interpolation is needed)
+    ii, jj = np.meshgrid(np.arange(-wing, wing + 1), np.arange(-wing, wing + 1),
+                         indexing="ij")
+    wgt = np.zeros_like(ii, dtype=np.float64)
+    nz = (ii != 0) | (jj != 0)
+    wgt[nz] = 1.0 / (np.abs(ii[nz]) ** p + np.abs(jj[nz]) ** p)
+
+    denom = convolve2d(m, wgt, mode="same")
+    out = img.copy()
+    for c in range(img.shape[-1]):
+        num = convolve2d(img[:, :, c] * m, wgt, mode="same")
+        fill = np.divide(num, denom, out=np.zeros_like(num), where=denom > 0)
+        out[:, :, c] = np.where(m > 0, img[:, :, c], fill)
+    return out if image.ndim == 3 else out[:, :, 0]
 
 
 def gaussian_psf(kernel_size: int, std: float) -> np.ndarray:

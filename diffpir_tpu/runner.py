@@ -102,6 +102,10 @@ class Runner:
         self.den = make_denoiser(
             lambda p, x, t: self.module.apply({"params": p}, x, t),
             params, self.schedule, compute_dtype=dtype)
+        from diffpir_tpu.diffusion import Diffusion, ModelMeanType, ModelVarType
+
+        self.diffusion = Diffusion(self.schedule, ModelMeanType.EPSILON,
+                                   ModelVarType.LEARNED_RANGE)
         self._restore_jit = {}
 
     # ------------------------------------------------------------------
@@ -122,18 +126,35 @@ class Runner:
         def restore(params, y, kernel, mask, key):
             import dataclasses as _dc
 
+            from diffpir_tpu.guidance import (
+                dps_sample, make_degrade_op, make_grad_prox)
+
             den = _dc.replace(self.den, params=params)
             k_init, k_samp = jax.random.split(key)
             x = init_x(task, y, mask, cfg.sf,
                        sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0, key=k_init)
-            if task == "inpaint":
+            hr_hw = (y.shape[1] * cfg.sf, y.shape[2] * cfg.sf)
+
+            if cfg.generate_mode in ("DPS_y0", "DPS_yt"):
+                op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)
+                model_fn = lambda xv, tv: self.module.apply(
+                    {"params": params}, xv.astype(self.den.compute_dtype), tv)
+                return dps_sample(
+                    self.diffusion, model_fn, op, plan, x, k_samp,
+                    mode=cfg.generate_mode, task=task, y=y,
+                    lambda_=cfg.lambda_, sigma_y=cfg.sigma)
+
+            if not cfg.sub_1_analytic and task in ("deblur", "sr"):
+                op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)
+                meas = y if task == "deblur" else 2.0 * y - 1.0
+                prox = make_grad_prox(op, meas)
+            elif task == "inpaint":
                 prox = make_inpaint_prox(y, mask, cfg.guidance_scale)
             elif task == "deblur" or (task == "sr" and cfg.sr_mode == "blur"):
                 prox = make_fft_prox(precompute(y, kernel, cfg.sf), cfg.guidance_scale)
             else:  # sr cubic
                 prox = make_cubic_sr_prox(
-                    y, cfg.sf, gamma=cfg.gamma, in_iter=cfg.inIter,
-                    hr_hw=(y.shape[1] * cfg.sf, y.shape[2] * cfg.sf))
+                    y, cfg.sf, gamma=cfg.gamma, in_iter=cfg.inIter, hr_hw=hr_hw)
             return diffpir_sample(
                 den, prox, plan, x, k_samp, zeta=zeta,
                 iter_num_U=cfg.iter_num_U, generate_mode=cfg.generate_mode,

