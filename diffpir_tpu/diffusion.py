@@ -152,17 +152,45 @@ class Diffusion:
         return {"mean": mean, "log_variance": log_variance,
                 "pred_xstart": pred_xstart}
 
-    def p_sample(self, model_fn, x, t, key, clip_denoised: bool = True) -> dict:
+    def condition_mean(self, cond_fn, p_mean_var: dict, x, t) -> jnp.ndarray:
+        """Classifier-guidance mean shift: mean + var * grad log p(y|x)
+        (reference ``gaussian_diffusion.py:356-372``)."""
+        gradient = cond_fn(x, t)
+        return (p_mean_var["mean"]
+                + jnp.exp(p_mean_var["log_variance"]) * gradient.astype(jnp.float32))
+
+    def condition_score(self, cond_fn, p_mean_var: dict, x, t) -> dict:
+        """Score-based conditioning for DDIM (reference ``:374-393``):
+        eps <- eps - sqrt(1-acp_t) * grad; recompute x0 and posterior mean."""
+        nd = x.ndim
+        ab = _bx(self._t("alphas_cumprod"), t, nd)
+        eps = ((_bx(self._t("sqrt_recip_alphas_cumprod"), t, nd) * x
+                - p_mean_var["pred_xstart"])
+               / _bx(self._t("sqrt_recipm1_alphas_cumprod"), t, nd))
+        eps = eps - jnp.sqrt(1 - ab) * cond_fn(x, t).astype(jnp.float32)
+        pred_xstart = (_bx(self._t("sqrt_recip_alphas_cumprod"), t, nd) * x
+                       - _bx(self._t("sqrt_recipm1_alphas_cumprod"), t, nd) * eps)
+        out = dict(p_mean_var)
+        out["pred_xstart"] = pred_xstart
+        out["mean"] = self.q_posterior_mean(pred_xstart, x, t)
+        return out
+
+    def p_sample(self, model_fn, x, t, key, clip_denoised: bool = True,
+                 cond_fn=None) -> dict:
         out = self.p_mean_variance(model_fn, x, t, clip_denoised)
         noise = jax.random.normal(key, x.shape, jnp.float32)
         nonzero = (t != 0).astype(jnp.float32).reshape(t.shape + (1,) * (x.ndim - 1))
+        if cond_fn is not None:
+            out["mean"] = self.condition_mean(cond_fn, out, x, t)
         sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
     def ddim_sample(self, model_fn, x, t, key, eta: float = 0.0,
-                    clip_denoised: bool = True) -> dict:
+                    clip_denoised: bool = True, cond_fn=None) -> dict:
         nd = x.ndim
         out = self.p_mean_variance(model_fn, x, t, clip_denoised)
+        if cond_fn is not None:
+            out = self.condition_score(cond_fn, out, x, t)
         eps = ((_bx(self._t("sqrt_recip_alphas_cumprod"), t, nd) * x
                 - out["pred_xstart"])
                / _bx(self._t("sqrt_recipm1_alphas_cumprod"), t, nd))

@@ -52,20 +52,27 @@ def legacy_qkv_attention(qkv: jax.Array, num_heads: int) -> jax.Array:
     scale = 1.0 / math.sqrt(math.sqrt(ch))
     interpret = jax.default_backend() != "tpu"
 
-    grid = (b, num_heads)
+    # head-major layout (B*H, T, 3ch): per-grid-cell blocks then cover the full
+    # trailing dims, which is what the Mosaic tiling rules require (3ch=192 is
+    # not 128-divisible as a *block* of a larger axis).  XLA fuses this
+    # transpose into the producing matmul.
+    qkv_h = qkv.reshape(b, t, num_heads, 3 * ch).transpose(0, 2, 1, 3)
+    qkv_h = qkv_h.reshape(b * num_heads, t, 3 * ch)
+
     out = pl.pallas_call(
         functools.partial(_attn_kernel, ch=ch, scale=scale),
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, t, 3 * ch), lambda i, h: (i, 0, h),
+        grid=(b * num_heads,),
+        in_specs=[pl.BlockSpec((1, t, 3 * ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, t, ch), lambda i, h: (i, 0, h),
+        out_specs=pl.BlockSpec((1, t, ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * num_heads, t, ch), qkv.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * num_heads * t * t * ch,
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
             transcendentals=b * num_heads * t * t,
         ),
-    )(qkv)
-    return out
+    )(qkv_h)
+    out = out.reshape(b, num_heads, t, ch).transpose(0, 2, 1, 3)
+    return out.reshape(b, t, c)

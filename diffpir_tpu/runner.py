@@ -155,10 +155,13 @@ class Runner:
             else:  # sr cubic
                 prox = make_cubic_sr_prox(
                     y, cfg.sf, gamma=cfg.gamma, in_iter=cfg.inIter, hr_hw=hr_hw)
+            from diffpir_tpu.schedule import make_progress_slots
+
+            slots = make_progress_slots(plan.n_steps) if cfg.log_process else None
             return diffpir_sample(
                 den, prox, plan, x, k_samp, zeta=zeta,
                 iter_num_U=cfg.iter_num_U, generate_mode=cfg.generate_mode,
-                y=y, mask=mask,
+                y=y, mask=mask, progress_slots=slots,
                 recover_known=(task == "inpaint"
                                and cfg.generate_mode in ("repaint", "DiffPIR")))
 
@@ -184,6 +187,8 @@ class Runner:
             kern = shard_batch(kern, self.mesh)
             mask = shard_batch(mask, self.mesh)
         out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed))
+        if isinstance(out, tuple):  # (restored, progress frames)
+            return tuple(np.asarray(jax.device_get(o)) for o in out)
         return np.asarray(jax.device_get(out))
 
     # ------------------------------------------------------------------
@@ -206,12 +211,21 @@ class Runner:
         items = prepare_images(cfg, paths)
         batches = make_batches(items, cfg.batch_size,
                                pad_to_batch=self.mesh is not None)
+        lpips_fn = None
+        if cfg.calc_LPIPS:
+            from diffpir_tpu.metrics import make_lpips
 
-        psnrs, psnrs_y, times, n_imgs = [], [], [], 0
+            lpips_fn = make_lpips()
+
+        psnrs, psnrs_y, lpipss, times, n_imgs = [], [], [], [], 0
         for bi, batch in enumerate(batches):
             t0 = time.perf_counter()
-            x0 = self.restore_batch(batch, lambda_, zeta, seed=cfg.seed + bi)
+            out = self.restore_batch(batch, lambda_, zeta, seed=cfg.seed + bi)
             times.append(time.perf_counter() - t0)
+            frames = None
+            if isinstance(out, tuple):
+                out, frames = out
+            x0 = out
             nb = len(batch.names)
             x0 = x0[:nb]
             gt = batch.img_H[:nb].astype(np.float32) / 255.0
@@ -222,9 +236,18 @@ class Runner:
                 psnr_y = im.psnr_batch(im.rgb_to_y_batch(x0 * 2 - 1),
                                        im.rgb_to_y_batch(gt * 2 - 1))
                 psnrs_y.append(psnr_y * nb)
+            msg = f"batch{bi + 1:->4d}--> PSNR: {psnr:.4f}dB"
+            if lpips_fn is not None:
+                lp = lpips_fn(x0 * 2 - 1, gt * 2 - 1)
+                lpipss.append(lp * nb)
+                msg += f"; LPIPS: {lp:.4f}"
             n_imgs += nb
-            lg.info(f"batch{bi + 1:->4d}--> PSNR: {psnr:.4f}dB "
-                    f"({nb} imgs, {times[-1]:.2f}s)")
+            lg.info(msg + f" ({nb} imgs, {times[-1]:.2f}s)")
+            if save and frames is not None:
+                # progressive strip: snapshots concatenated horizontally
+                # (reference main_ddpir_sisr.py:426-432)
+                strips = np.concatenate(list(frames[:, :nb]), axis=2)
+                im.imsave_batch(strips, batch.names, cfg.E_path, "progress_")
             if save and cfg.save_E:
                 im.imsave_batch(
                     x0, batch.names, cfg.E_path,
@@ -236,6 +259,7 @@ class Runner:
         results = {
             "psnr": sum(psnrs) / n_imgs,
             "psnr_y": sum(psnrs_y) / n_imgs if psnrs_y else None,
+            "lpips": sum(lpipss) / n_imgs if lpipss else None,
             "n_images": n_imgs,
             "images_per_sec": n_imgs / sum(times) if times else 0.0,
             "lambda_": lambda_, "zeta": zeta,

@@ -204,6 +204,7 @@ def diffpir_sample(
     y: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     recover_known: bool = False,
+    progress_slots: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the full DiffPIR trajectory; returns the restored image in [0, 1].
 
@@ -219,6 +220,11 @@ def diffpir_sample(
         (``main_ddpir.py:462-467``).
       * recover_known overwrites observed pixels at the end
         (``main_ddpir.py:475-476``).
+      * progress_slots (optional, length n_steps, int: slot index or -1)
+        additionally returns intermediate states for visualization — the
+        reference's ``progress_seq`` snapshots (``main_ddpir.py:336-338``,
+        progressive saving ``main_ddpir_sisr.py:426-432``).  Snapshots live in
+        a fixed carry buffer so the scan stays O(n_slots) memory.
     """
     tables = _plan_to_device(plan)
     n = plan.n_steps
@@ -258,18 +264,30 @@ def diffpir_sample(
             x = sae * x + jnp.sqrt(jnp.maximum(var, 0.0)) * n3
         return x
 
+    n_slots = 0 if progress_slots is None else int(progress_slots.max()) + 1
+    slots_tab = (None if progress_slots is None
+                 else jnp.asarray(progress_slots, jnp.int32))
+
     def step(carry, i):
-        x = carry
+        x, frames = carry
         s = {k: v[i] for k, v in tables.items()}
         for u in range(iter_num_U):
             x = one_u(x, s, jax.random.fold_in(jax.random.fold_in(key, i), u),
                       u, last_u=(u == iter_num_U - 1))
-        return x, None
+        if frames is not None:
+            slot = slots_tab[i]
+            updated = jax.lax.dynamic_update_index_in_dim(
+                frames, x * 0.5 + 0.5, jnp.maximum(slot, 0), 0)
+            frames = jnp.where(slot >= 0, updated, frames)
+        return (x, frames), None
 
+    frames0 = (None if n_slots == 0
+               else jnp.zeros((n_slots,) + x_init.shape, jnp.float32))
     # steps 0..n-2: the reference's final (n-1) step performs a denoise whose
     # output is discarded, so it is omitted here (identical math, one fewer NFE)
-    x, _ = jax.lax.scan(step, x_init, jnp.arange(n - 1))
+    (x, frames), _ = jax.lax.scan(step, (x_init, frames0), jnp.arange(n - 1))
 
     if recover_known and mask is not None:
         x = mask * y2 + (1.0 - mask) * x
-    return x * 0.5 + 0.5
+    x01 = x * 0.5 + 0.5
+    return x01 if frames is None else (x01, frames)

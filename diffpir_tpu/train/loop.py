@@ -101,7 +101,8 @@ class Trainer:
         state = dict(
             params=params,
             opt_state=self.tx.init(params),
-            ema=tuple(jax.tree_util.tree_map(lambda x: x, params)
+            # real copies — aliasing params would break donate_argnums
+            ema=tuple(jax.tree_util.tree_map(jnp.copy, params)
                       for _ in self.cfg.ema_rates),
             step=jnp.zeros((), jnp.int32),
         )
