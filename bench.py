@@ -30,8 +30,14 @@ SIZE = 256
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from diffpir_tpu.models.zoo import resolve_model
     from diffpir_tpu.sampler import diffpir_sample, make_denoiser, make_inpaint_prox
@@ -61,15 +67,17 @@ def main():
                               generate_mode="DiffPIR", y=y, mask=mask,
                               recover_known=True)
 
-    # compile + warmup
+    # compile + warmup — NOTE: timing uses an explicit host fetch; on the axon
+    # TPU tunnel block_until_ready() returns before remote execution finishes
     out = restore(params, y, mask, jax.random.PRNGKey(0))
-    out.block_until_ready()
+    np.asarray(out)
 
     n_rep = 3
     t0 = time.perf_counter()
-    for i in range(n_rep):
-        out = restore(params, y, mask, jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
+    outs = [restore(params, y, mask, jax.random.PRNGKey(i + 1))
+            for i in range(n_rep)]
+    for o in outs:
+        np.asarray(o)
     dt = (time.perf_counter() - t0) / n_rep
 
     ips = BATCH / dt

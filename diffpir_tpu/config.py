@@ -58,6 +58,7 @@ class TaskConfig:
     # io / eval
     save_L: bool = True
     save_E: bool = True
+    save_LEH: bool = False             # side-by-side L|E|H montage (sisr driver)
     calc_LPIPS: bool = False
 
     # sr-only

@@ -51,17 +51,35 @@ class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32 regardless of activation dtype.
 
     Parity with reference ``nn.py:17-19`` (fp32 cast) and ``nn.py:93-100``
-    (32 groups, torch eps=1e-5).
+    (32 groups, torch eps=1e-5).  Optional fusions (identical math):
+      * ``fuse_silu``: apply SiLU after the affine norm
+      * ``film``: per-sample (B, C) FiLM scale/shift between norm and SiLU
+      * ``use_pallas``: route through the single-pass fused TPU kernel
+        (``diffpir_tpu.pallas.groupnorm``) — avoids materializing the fp32
+        upcast copy of the activation in HBM (the UNet is bandwidth-bound).
     """
 
     num_groups: int = 32
+    fuse_silu: bool = False
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 film: Optional[tuple[jax.Array, jax.Array]] = None) -> jax.Array:
         dtype = x.dtype
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.use_pallas and x.ndim == 4:
+            from diffpir_tpu.pallas.groupnorm import groupnorm_silu
+
+            fs = None if film is None else film[0].astype(jnp.float32)
+            fb = None if film is None else film[1].astype(jnp.float32)
+            return groupnorm_silu(x, scale, bias, fs, fb,
+                                  num_groups=self.num_groups,
+                                  do_silu=self.fuse_silu)
+
         x = x.astype(jnp.float32)
         orig_shape = x.shape
         g = self.num_groups
@@ -70,6 +88,12 @@ class GroupNorm32(nn.Module):
         var = x.var(axis=tuple(range(1, x.ndim - 2)) + (x.ndim - 1,), keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         x = x.reshape(orig_shape) * scale + bias
+        if film is not None:
+            fs, fb = film
+            x = x * (1.0 + fs.astype(jnp.float32)[:, None, None, :]) \
+                + fb.astype(jnp.float32)[:, None, None, :]
+        if self.fuse_silu:
+            x = nn.silu(x)
         return x.astype(dtype)
 
 
@@ -130,12 +154,12 @@ class ResBlock(nn.Module):
     down: bool = False
     use_conv_skip: bool = False
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, *, deterministic: bool = True) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="norm1", fuse_silu=True, use_pallas=self.use_pallas)(x)
         if self.up:
             h, x = _upsample2x(h), _upsample2x(x)
         elif self.down:
@@ -149,12 +173,12 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="norm2")(h)
-            h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+            h = GroupNorm32(name="norm2", fuse_silu=True,
+                            use_pallas=self.use_pallas)(h, film=(scale, shift))
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm32(name="norm2")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(name="norm2", fuse_silu=True,
+                            use_pallas=self.use_pallas)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _conv(self.out_channels, name="conv2", zero_init=True, dtype=self.dtype)(h)
 
@@ -196,7 +220,8 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, hh, ww, c = x.shape
-        h = GroupNorm32(name="norm")(x).reshape(b, hh * ww, c)
+        h = GroupNorm32(name="norm",
+                        use_pallas=self.use_pallas)(x).reshape(b, hh * ww, c)
         qkv = _dense(3 * c, name="qkv", dtype=self.dtype)(h)
         if self.use_pallas:
             from diffpir_tpu.pallas.attention import legacy_qkv_attention as fused
@@ -281,6 +306,7 @@ class UNet(nn.Module):
         def res(i, j, ch, **kw):
             return ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                             dropout=cfg.dropout, dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             name=f"input_blocks_{i}_{j}" if isinstance(i, int) else f"{i}_{j}",
                             **kw)
 
@@ -314,11 +340,13 @@ class UNet(nn.Module):
 
         h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
+                     use_pallas=self.use_pallas,
                      name="middle_block_0")(h, emb, deterministic=deterministic)
         h = AttentionBlock(cfg.heads_for(ch), dtype=self.dtype,
                            use_pallas=self.use_pallas, name="middle_block_1")(h)
         h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
+                     use_pallas=self.use_pallas,
                      name="middle_block_2")(h, emb, deterministic=deterministic)
 
         block_idx = 0
@@ -328,6 +356,7 @@ class UNet(nn.Module):
                 ch = int(cfg.model_channels * mult)
                 h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                              dropout=cfg.dropout, dtype=self.dtype,
+                             use_pallas=self.use_pallas,
                              name=f"output_blocks_{block_idx}_0")(h, emb,
                                                                   deterministic=deterministic)
                 j = 1
@@ -340,6 +369,7 @@ class UNet(nn.Module):
                     if cfg.resblock_updown:
                         h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                                      dropout=cfg.dropout, dtype=self.dtype, up=True,
+                                     use_pallas=self.use_pallas,
                                      name=f"output_blocks_{block_idx}_{j}")(
                                          h, emb, deterministic=deterministic)
                     else:
@@ -351,7 +381,7 @@ class UNet(nn.Module):
                 block_idx += 1
 
         h = h.astype(x.dtype)
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_norm", fuse_silu=True,
+                        use_pallas=self.use_pallas)(h)
         return _conv(cfg.out_channels, name="out_conv", zero_init=True,
                      dtype=jnp.float32)(h)

@@ -24,7 +24,46 @@ from diffpir_tpu.models.unet import (
     _upsample2x, timestep_embedding,
 )
 
-__all__ = ["SuperResUNet", "EncoderUNet"]
+__all__ = ["SuperResUNet", "EncoderUNet", "AttentionPool2d"]
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (reference ``unet.py:22-51``).
+
+    Prepends a mean token, adds a learned positional embedding, runs one QKV
+    attention pass (new head order), and returns the pooled (first) token
+    projected to `output_dim`.
+    """
+
+    num_head_channels: int
+    output_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        t = h * w
+        xs = x.reshape(b, t, c)
+        xs = jnp.concatenate([xs.mean(axis=1, keepdims=True), xs], axis=1)
+        pos = self.param("positional_embedding",
+                         lambda k, s, d: jax.random.normal(k, s, d) / c**0.5,
+                         (t + 1, c), jnp.float32)
+        xs = xs + pos[None].astype(xs.dtype)
+        qkv = _dense(3 * c, name="qkv_proj", dtype=self.dtype)(xs)
+        heads = c // self.num_head_channels
+        # "new order" QKV: channel layout [q|k|v][head][ch] (unet.py:361-389)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(u):
+            return u.reshape(b, t + 1, heads, self.num_head_channels)
+
+        q, k, v = map(split_heads, (q, k, v))
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(float(self.num_head_channels)))
+        logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        wgt = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bshc->bthc", wgt, v).reshape(b, t + 1, c)
+        out = _dense(self.output_dim, name="c_proj", dtype=self.dtype)(out)
+        return out[:, 0]
 
 
 def _bilinear_resize(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
@@ -112,6 +151,11 @@ class EncoderUNet(nn.Module):
                      dropout=cfg.dropout, dtype=self.dtype,
                      name="middle_block_2")(h, emb, deterministic=deterministic)
 
+        if self.pool == "attention":
+            h = GroupNorm32(name="out_norm", fuse_silu=True)(h.astype(jnp.float32))
+            return AttentionPool2d(self.cfg.num_head_channels,
+                                   self.cfg.out_channels, dtype=self.dtype,
+                                   name="out_pool")(h)
         if self.pool == "adaptive":
             h = GroupNorm32(name="out_norm")(h.astype(jnp.float32))
             h = nn.silu(h)

@@ -255,6 +255,13 @@ class Runner:
             if save and cfg.save_L:
                 im.imsave_batch(batch.img_L[:nb], batch.names, cfg.E_path,
                                 f"LR_x{cfg.sf}_")
+            if save and cfg.save_LEH:
+                # L (nearest-upscaled to HR) | E | H montage
+                # (reference main_ddpir_sisr.py:440-451)
+                L_up = np.repeat(np.repeat(batch.img_L[:nb], cfg.sf, axis=1),
+                                 cfg.sf, axis=2)
+                montage = np.concatenate([L_up, x0, gt], axis=2)
+                im.imsave_batch(montage, batch.names, cfg.E_path, "LEH_")
 
         results = {
             "psnr": sum(psnrs) / n_imgs,

@@ -90,6 +90,27 @@ def denoise_x0(den: DenoiserState, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarra
     return jnp.clip(x0, -1.0, 1.0)
 
 
+def denoise_output(den: DenoiserState, x: jnp.ndarray, t: jnp.ndarray,
+                   output_type: str = "pred_xstart") -> jnp.ndarray:
+    """Denoiser output in the reference ``model_fn`` vocabulary
+    (``utils/utils_model.py:242-258``): pred_xstart | epsilon | score.
+
+    epsilon/score are re-derived from the clamped x0 exactly as the reference
+    does (it converts out["pred_xstart"], not the raw model eps).
+    """
+    x0 = denoise_x0(den, x, t)
+    if output_type == "pred_xstart":
+        return x0
+    sqrt_acp = 1.0 / den.sqrt_recip_acp[t]
+    sqrt_1m = den.sqrt_recipm1_acp[t] / den.sqrt_recip_acp[t]
+    eps = (x - sqrt_acp * x0) / sqrt_1m
+    if output_type == "epsilon":
+        return eps
+    if output_type == "score":
+        return -eps / sqrt_1m
+    raise ValueError(f"unknown output_type {output_type!r}")
+
+
 # ---------------------------------------------------------------------------
 # Data-fidelity proximal operators (x0 domain [-1, 1])
 # ---------------------------------------------------------------------------

@@ -182,6 +182,39 @@ class Trainer:
         return new_state, metrics
 
     # ------------------------------------------------------------------
+    def fit(self, state: TrainState, data_iterator, *, steps: int,
+            key: jax.Array, ckpt_dir: Optional[str] = None,
+            save_interval: int = 10_000, log_interval: int = 100,
+            mesh: Optional[Mesh] = None) -> TrainState:
+        """Run the training loop (reference ``TrainLoop.run_loop``,
+        ``train_util.py:153-170``): step, periodic kv-logging and checkpoints.
+
+        `data_iterator` yields (images NHWC in [-1,1], labels-or-None) numpy
+        batches (see ``train.datasets.load_data``); under a mesh the batch is
+        sharded over the 'data' axis before dispatch.
+        """
+        from diffpir_tpu.utils import kvlogger
+
+        mesh = mesh or self.mesh
+        for i in range(steps):
+            batch_np, _labels = next(data_iterator)
+            batch = jnp.asarray(batch_np)
+            if mesh is not None:
+                batch = jax.device_put(
+                    batch, NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1)))))
+            state, metrics = self.train_step(state, batch,
+                                             jax.random.fold_in(key, i))
+            kvlogger.logkv("step", int(state["step"]))
+            kvlogger.logkv_mean("loss", float(metrics["loss"]))
+            kvlogger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
+            if (i + 1) % log_interval == 0:
+                kvlogger.dumpkvs()
+            if ckpt_dir and (i + 1) % save_interval == 0:
+                self.save(state, ckpt_dir)
+        if ckpt_dir:
+            self.save(state, ckpt_dir)
+        return state
+
     def save(self, state: TrainState, ckpt_dir: str, step: Optional[int] = None):
         """Orbax checkpoint (model + ema + opt), resume-compatible."""
         import orbax.checkpoint as ocp

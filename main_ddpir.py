@@ -30,15 +30,23 @@ def parse_args():
                    help="config override (repeatable)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--json", action="store_true", help="print results as JSON")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the evaluation into DIR")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_compile_cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from diffpir_tpu.config import load_config
     from diffpir_tpu.runner import Runner
@@ -58,10 +66,15 @@ def main():
         shutil.copyfile(args.opt, os.path.join(cfg.E_path, "config.yaml"))
 
     runner = Runner(cfg)
-    if args.no_sweep:
-        results = [runner.evaluate()]
-    else:
-        results = runner.evaluate_sweep()
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        if args.no_sweep:
+            results = [runner.evaluate()]
+        else:
+            results = runner.evaluate_sweep()
 
     if args.json:
         json.dump(results, sys.stdout, indent=2, default=float)
