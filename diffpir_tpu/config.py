@@ -63,9 +63,10 @@ class TaskConfig:
 
     # sr-only
     sf: int = 1
-    sr_mode: str = "blur"              # blur | cubic
+    sr_mode: str = "blur"              # blur | cubic | classical
     inIter: int = 1
     gamma: float = 0.01
+    classical_kernel_index: int = 0    # PSF index into kernels_12 (classical mode)
 
     # deblur-only
     use_DIY_kernel: bool = True

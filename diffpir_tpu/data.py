@@ -39,6 +39,8 @@ class Batch:
     kernel: np.ndarray          # (B, kh, kw) float32 (dummy 1x1 for inpaint)
     mask: np.ndarray            # (B, H, W, C) float32 in {0,1}
     names: list[str]
+    init: Optional[np.ndarray] = None  # (B, H, W, C) [0,1] x-init override
+                                       # (SR classical path: shifted upscale)
 
 
 def load_kernel_asset(name: str, key: str) -> np.ndarray:
@@ -48,6 +50,10 @@ def load_kernel_asset(name: str, key: str) -> np.ndarray:
 
 def _kernel_for(cfg: TaskConfig, idx: int) -> np.ndarray:
     if cfg.task == "sr":
+        if cfg.sr_mode == "classical":
+            # classical PSF set (kernels_12.mat; main_ddpir_sisr.py:153)
+            return load_kernel_asset("classical_12",
+                                     f"k{cfg.classical_kernel_index}").astype(np.float64)
         k_index = cfg.sf if cfg.sf < 5 else 4
         return load_kernel_asset("bicubic_x234", f"x{k_index}").astype(np.float64)
     if cfg.task == "deblur":
@@ -79,10 +85,22 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
         img_H = im.modcrop(img_H, cfg.sf)
         H, W = img_H.shape[:2]
 
+        init = None
         if cfg.task == "sr":
             if cfg.sr_mode == "blur":
                 img_L = np.asarray(
                     resize2d(jnp.asarray(im.uint2single(img_H))[None], 1 / cfg.sf))[0]
+            elif cfg.sr_mode == "classical":
+                # blur(wrap) + strided subsample, bicubic-upscaled init with
+                # half-pixel shift correction (main_ddpir_sisr.py:212-248)
+                from diffpir_tpu.ops.degrade import (
+                    classical_degradation, shift_pixel)
+
+                img_L = classical_degradation(im.uint2single(img_H), k, cfg.sf)
+                up = np.asarray(resize2d(
+                    jnp.asarray(img_L.astype(np.float32))[None], float(cfg.sf),
+                    antialiasing=False))[0]
+                init = shift_pixel(up, cfg.sf).astype(np.float32)
             else:  # cubic
                 img_L = np.asarray(
                     resize2d(jnp.asarray(img_H.astype(np.float32) / 255.0)[None],
@@ -113,7 +131,7 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
 
         items.append(dict(img_H=img_H, img_L=img_L.astype(np.float32),
                           kernel=np.asarray(k, np.float32), mask=mask,
-                          name=os.path.basename(path)))
+                          init=init, name=os.path.basename(path)))
     return items
 
 
@@ -141,11 +159,14 @@ def make_batches(items: list[dict], batch_size: int,
             return np.pad(k, ((p0, kmax - k.shape[0] - p0),
                               (p1, kmax2 - k.shape[1] - p1)))
 
+        has_init = chunk[0].get("init") is not None
         batches.append(Batch(
             img_H=np.stack([it["img_H"] for it in chunk]),
             img_L=np.stack([it["img_L"] for it in chunk]).astype(np.float32),
             kernel=np.stack([pad_k(it["kernel"]) for it in chunk]).astype(np.float32),
             mask=np.stack([it["mask"] for it in chunk]).astype(np.float32),
             names=[it["name"] for it in chunk[:n_real]],
+            init=(np.stack([it["init"] for it in chunk]).astype(np.float32)
+                  if has_init else None),
         ))
     return batches

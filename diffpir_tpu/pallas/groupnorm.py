@@ -62,7 +62,7 @@ def _kernel(x_ref, scale_ref, bias_ref, gmat_ref, fs_ref, fb_ref, o_ref,
         y = (xb - mean) * inv * scale_ref[0:1, :] + bias_ref[0:1, :]
         if film:
             # FiLM conditioning h*(1+s)+t (ResBlock scale-shift, unet.py:248-252)
-            y = y * (1.0 + fs_ref[0:1, :]) + fb_ref[0:1, :]
+            y = y * (1.0 + fs_ref[0]) + fb_ref[0]
         if do_silu:
             y = y * jax.nn.sigmoid(y)
         o_ref[0] = y.astype(o_ref.dtype)
@@ -110,9 +110,9 @@ def groupnorm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i, p, ci: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, p, ci: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i, p, ci: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, p, ci: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i, p, ci: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, chunk, c), lambda i, p, ci: (i, ci, 0),
@@ -122,5 +122,6 @@ def groupnorm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
         interpret=interpret,
     )(xr, scale.reshape(1, c).astype(jnp.float32),
       bias.reshape(1, c).astype(jnp.float32), gmat,
-      film_scale.astype(jnp.float32), film_shift.astype(jnp.float32))
+      film_scale.astype(jnp.float32).reshape(b, 1, c),
+      film_shift.astype(jnp.float32).reshape(b, 1, c))
     return out.reshape(b, h, w, c)

@@ -123,7 +123,7 @@ class Runner:
             self.schedule.sqrt_alphas_cumprod[self.t_start])
         s1m0 = float(np.sqrt(1 - self.schedule.alphas_cumprod[self.t_start]))
 
-        def restore(params, y, kernel, mask, key):
+        def restore(params, y, kernel, mask, key, init=None):
             import dataclasses as _dc
 
             from diffpir_tpu.guidance import (
@@ -131,8 +131,14 @@ class Runner:
 
             den = _dc.replace(self.den, params=params)
             k_init, k_samp = jax.random.split(key)
-            x = init_x(task, y, mask, cfg.sf,
-                       sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0, key=k_init)
+            if init is not None:
+                # host-prepared init override (SR classical: shifted upscale,
+                # main_ddpir_sisr.py:243-248), diffused to t_start
+                noise = jax.random.normal(k_init, init.shape, jnp.float32)
+                x = sa0 * (2.0 * init - 1.0) + s1m0 * noise
+            else:
+                x = init_x(task, y, mask, cfg.sf,
+                           sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0, key=k_init)
             hr_hw = (y.shape[1] * cfg.sf, y.shape[2] * cfg.sf)
 
             if cfg.generate_mode in ("DPS_y0", "DPS_yt"):
@@ -150,7 +156,8 @@ class Runner:
                 prox = make_grad_prox(op, meas)
             elif task == "inpaint":
                 prox = make_inpaint_prox(y, mask, cfg.guidance_scale)
-            elif task == "deblur" or (task == "sr" and cfg.sr_mode == "blur"):
+            elif task == "deblur" or (task == "sr"
+                                      and cfg.sr_mode in ("blur", "classical")):
                 prox = make_fft_prox(precompute(y, kernel, cfg.sf), cfg.guidance_scale)
             else:  # sr cubic
                 prox = make_cubic_sr_prox(
@@ -182,11 +189,14 @@ class Runner:
         y = jnp.asarray(batch.img_L)
         kern = jnp.asarray(batch.kernel)
         mask = jnp.asarray(batch.mask)
+        init = None if batch.init is None else jnp.asarray(batch.init)
         if self.mesh is not None:
             y = shard_batch(y, self.mesh)
             kern = shard_batch(kern, self.mesh)
             mask = shard_batch(mask, self.mesh)
-        out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed))
+            if init is not None:
+                init = shard_batch(init, self.mesh)
+        out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed), init)
         if isinstance(out, tuple):  # (restored, progress frames)
             return tuple(np.asarray(jax.device_get(o)) for o in out)
         return np.asarray(jax.device_get(out))
