@@ -86,10 +86,19 @@ def convert_state_dict(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         elif head == "label_emb":
             _set(params, ("label_emb", "embedding"), np.asarray(value, np.float32))
         elif head == "out":
-            # out.{0|2}.{weight|bias} -> out_norm / out_conv
+            # out.{0|2}.{...} -> out_norm / out_conv / out_pool (classifier's
+            # AttentionPool2d head, reference unet.py:832-839)
             if parts[1] == "0":
                 flax_name = "scale" if leaf == "weight" else "bias"
                 _set(params, ("out_norm", flax_name), _convert_tensor(value, flax_name))
+            elif parts[2] == "positional_embedding":
+                # torch stores (C, T+1); flax param is (T+1, C)
+                _set(params, ("out_pool", "positional_embedding"),
+                     np.asarray(value, np.float32).T)
+            elif parts[2] in ("qkv_proj", "c_proj"):
+                flax_name = "kernel" if leaf == "weight" else "bias"
+                _set(params, ("out_pool", parts[2], flax_name),
+                     _convert_tensor(value, flax_name))
             else:
                 flax_name = "kernel" if leaf == "weight" else "bias"
                 _set(params, ("out_conv", flax_name), _convert_tensor(value, flax_name))

@@ -1,0 +1,95 @@
+"""Restoration quality with a genuinely trained prior (synthetic dataset).
+
+Uses ``assets/demo/tiny_demo.flax.npz`` (produced by ``scripts/train_demo.py``
+on TPU) as the denoiser and checks the full DiffPIR stack achieves a real
+quality gain over the degraded observation — the strongest end-to-end check
+available without the undownloadable public checkpoints.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffpir_tpu.models.unet import UNet
+from diffpir_tpu.models.zoo import TINY_TEST_CONFIG, load_params_npz
+from diffpir_tpu.ops.degrade import blur_circular, fspecial_gaussian
+from diffpir_tpu.ops.fft_prox import precompute
+from diffpir_tpu.sampler import (
+    diffpir_sample, init_x, make_denoiser, make_fft_prox, make_inpaint_prox,
+)
+from diffpir_tpu.schedule import NoiseSchedule, build_plan
+from diffpir_tpu.utils import image as im
+
+DEMO = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "assets", "demo", "tiny_demo.flax.npz")
+
+if not os.path.exists(DEMO):
+    pytest.skip("demo model not trained yet", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(DEMO), "..", ".."))
+    from scripts.train_demo import synth_batch
+
+    model = UNet(TINY_TEST_CONFIG, dtype=jnp.float32)
+    params = load_params_npz(DEMO)
+    sched = NoiseSchedule.linear(0.0001, 0.02, 1000)
+    den = make_denoiser(lambda p, x, t: model.apply({"params": p}, x, t),
+                        params, sched)
+    gt = synth_batch(np.random.default_rng(123), 2)  # held-out draws, [-1,1]
+    return den, sched, jnp.asarray(gt)
+
+
+def test_inpainting_quality_gain(setup):
+    den, sched, gt = setup
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray((rng.random(gt.shape[:3] + (1,)) > 0.5).astype(np.float32))
+    y = (gt * 0.5 + 0.5) * mask  # observed pixels in [0,1]
+
+    plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=1.0,
+                      zeta=1.0, eta=0.0, sigma_y=0.001)
+    prox = make_inpaint_prox(y, mask)
+    key = jax.random.PRNGKey(0)
+    x0 = init_x("inpaint", y, mask, 1,
+                sqrt_acp_start=float(sched.sqrt_alphas_cumprod[-1]),
+                sqrt_1m_acp_start=float(np.sqrt(1 - sched.alphas_cumprod[-1])),
+                key=key)
+    out = diffpir_sample(den, prox, plan, x0, key, zeta=1.0,
+                         generate_mode="DiffPIR", y=y, mask=mask,
+                         recover_known=True)
+    restored = np.asarray(out) * 2 - 1
+    psnr_restored = im.psnr_batch(restored, np.asarray(gt))
+    psnr_degraded = im.psnr_batch(np.asarray(y * 2 - 1), np.asarray(gt))
+    print(f"inpaint: degraded {psnr_degraded:.2f} dB -> restored "
+          f"{psnr_restored:.2f} dB")
+    assert psnr_restored > psnr_degraded + 5.0
+    assert psnr_restored > 20.0
+
+
+def test_deblur_quality_gain(setup):
+    den, sched, gt = setup
+    k = fspecial_gaussian(9, 1.5).astype(np.float32)
+    y01 = blur_circular(gt * 0.5 + 0.5, jnp.asarray(k)[None])
+    plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=7.0,
+                      zeta=0.3, eta=0.0, sigma_y=0.002)
+    prox = make_fft_prox(precompute(y01, jnp.asarray(np.broadcast_to(k, (2, 9, 9)).copy()), 1))
+    key = jax.random.PRNGKey(1)
+    x0 = init_x("deblur", y01, None, 1,
+                sqrt_acp_start=float(sched.sqrt_alphas_cumprod[-1]),
+                sqrt_1m_acp_start=float(np.sqrt(1 - sched.alphas_cumprod[-1])),
+                key=key)
+    out = diffpir_sample(den, prox, plan, x0, key, zeta=0.3,
+                         generate_mode="DiffPIR", y=y01)
+    restored = np.asarray(out) * 2 - 1
+    psnr_restored = im.psnr_batch(restored, np.asarray(gt))
+    psnr_degraded = im.psnr_batch(np.asarray(y01 * 2 - 1), np.asarray(gt))
+    print(f"deblur: degraded {psnr_degraded:.2f} dB -> restored "
+          f"{psnr_restored:.2f} dB")
+    assert psnr_restored > psnr_degraded
