@@ -220,8 +220,7 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, hh, ww, c = x.shape
-        h = GroupNorm32(name="norm",
-                        use_pallas=self.use_pallas)(x).reshape(b, hh * ww, c)
+        h = GroupNorm32(name="norm")(x).reshape(b, hh * ww, c)
         qkv = _dense(3 * c, name="qkv", dtype=self.dtype)(h)
         if self.use_pallas:
             from diffpir_tpu.pallas.attention import legacy_qkv_attention as fused
@@ -287,7 +286,10 @@ class UNet(nn.Module):
 
     cfg: UNetConfig
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool = False          # fused attention kernel
+    use_pallas_gn: bool = False       # fused GroupNorm kernel — measured SLOWER
+                                      # than XLA's fusion on v5e (16x); kept for
+                                      # experimentation only
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, y: Optional[jax.Array] = None,
@@ -306,7 +308,7 @@ class UNet(nn.Module):
         def res(i, j, ch, **kw):
             return ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                             dropout=cfg.dropout, dtype=self.dtype,
-                            use_pallas=self.use_pallas,
+                            use_pallas=self.use_pallas_gn,
                             name=f"input_blocks_{i}_{j}" if isinstance(i, int) else f"{i}_{j}",
                             **kw)
 
@@ -340,13 +342,13 @@ class UNet(nn.Module):
 
         h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
-                     use_pallas=self.use_pallas,
+                     use_pallas=self.use_pallas_gn,
                      name="middle_block_0")(h, emb, deterministic=deterministic)
         h = AttentionBlock(cfg.heads_for(ch), dtype=self.dtype,
                            use_pallas=self.use_pallas, name="middle_block_1")(h)
         h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
-                     use_pallas=self.use_pallas,
+                     use_pallas=self.use_pallas_gn,
                      name="middle_block_2")(h, emb, deterministic=deterministic)
 
         block_idx = 0
@@ -356,7 +358,7 @@ class UNet(nn.Module):
                 ch = int(cfg.model_channels * mult)
                 h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                              dropout=cfg.dropout, dtype=self.dtype,
-                             use_pallas=self.use_pallas,
+                             use_pallas=self.use_pallas_gn,
                              name=f"output_blocks_{block_idx}_0")(h, emb,
                                                                   deterministic=deterministic)
                 j = 1
@@ -369,7 +371,7 @@ class UNet(nn.Module):
                     if cfg.resblock_updown:
                         h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                                      dropout=cfg.dropout, dtype=self.dtype, up=True,
-                                     use_pallas=self.use_pallas,
+                                     use_pallas=self.use_pallas_gn,
                                      name=f"output_blocks_{block_idx}_{j}")(
                                          h, emb, deterministic=deterministic)
                     else:
@@ -382,6 +384,6 @@ class UNet(nn.Module):
 
         h = h.astype(x.dtype)
         h = GroupNorm32(name="out_norm", fuse_silu=True,
-                        use_pallas=self.use_pallas)(h)
+                        use_pallas=self.use_pallas_gn)(h)
         return _conv(cfg.out_channels, name="out_conv", zero_init=True,
                      dtype=jnp.float32)(h)
