@@ -226,6 +226,19 @@ class Diffusion:
         step = lambda m, x, t, k: self.ddim_sample(m, x, t, k, eta=eta)
         return self._sample_loop(step, model_fn, shape, key, noise)
 
+    def ddim_reverse_sample(self, model_fn, x, t, clip_denoised: bool = True) -> dict:
+        """Deterministic reverse-ODE step x_t -> x_{t+1}
+        (reference ``gaussian_diffusion.py:587-633``, eta must be 0)."""
+        nd = x.ndim
+        out = self.p_mean_variance(model_fn, x, t, clip_denoised)
+        eps = ((_bx(self._t("sqrt_recip_alphas_cumprod"), t, nd) * x
+                - out["pred_xstart"])
+               / _bx(self._t("sqrt_recipm1_alphas_cumprod"), t, nd))
+        ab_next = _bx(self._t("alphas_cumprod_next"), t, nd)
+        mean_pred = (out["pred_xstart"] * jnp.sqrt(ab_next)
+                     + jnp.sqrt(1 - ab_next) * eps)
+        return {"sample": mean_pred, "pred_xstart": out["pred_xstart"]}
+
     # -- training ------------------------------------------------------------
     def vb_terms(self, model_fn, x0, x_t, t, clip_denoised: bool = False,
                  model_output: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -266,3 +279,39 @@ class Diffusion:
         terms["mse"] = _mean_flat((target - mean_out) ** 2)
         terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
         return terms
+
+    def prior_bpd(self, x0: jnp.ndarray) -> jnp.ndarray:
+        """KL(q(x_T|x_0) || N(0, I)) in bits/dim (reference ``:819-836``)."""
+        b = x0.shape[0]
+        t = jnp.full((b,), self.schedule.num_timesteps - 1, jnp.int32)
+        nd = x0.ndim
+        mean = _bx(self._t("sqrt_alphas_cumprod"), t, nd) * x0
+        logvar = _bx(jnp.log(1.0 - self._t("alphas_cumprod")), t, nd)
+        kl = normal_kl(mean, logvar, jnp.zeros_like(mean), jnp.zeros_like(logvar))
+        return _mean_flat(kl) / np.log(2.0)
+
+    def calc_bpd_loop(self, model_fn, x0: jnp.ndarray, key: jax.Array) -> dict:
+        """Full-chain variational bits/dim evaluation
+        (reference ``gaussian_diffusion.py:838-892``), as one lax.scan."""
+        T = self.schedule.num_timesteps
+        b = x0.shape[0]
+
+        def body(carry, i):
+            t = jnp.full((b,), T - 1 - i, jnp.int32)
+            k = jax.random.fold_in(key, i)
+            noise = jax.random.normal(k, x0.shape, jnp.float32)
+            x_t = self.q_sample(x0, t, noise)
+            vb = self.vb_terms(model_fn, x0, x_t, t, clip_denoised=True)
+            out = self.p_mean_variance(model_fn, x_t, t, clip_denoised=True)
+            xstart_mse = _mean_flat((out["pred_xstart"] - x0) ** 2)
+            eps = ((_bx(self._t("sqrt_recip_alphas_cumprod"), t, x0.ndim) * x_t
+                    - out["pred_xstart"])
+                   / _bx(self._t("sqrt_recipm1_alphas_cumprod"), t, x0.ndim))
+            mse = _mean_flat((eps - noise) ** 2)
+            return carry, (vb, xstart_mse, mse)
+
+        _, (vb, xstart_mse, mse) = jax.lax.scan(body, None, jnp.arange(T))
+        prior = self.prior_bpd(x0)
+        total = vb.sum(axis=0) + prior
+        return {"total_bpd": total, "prior_bpd": prior, "vb": vb.T,
+                "xstart_mse": xstart_mse.T, "mse": mse.T}

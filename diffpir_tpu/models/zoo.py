@@ -25,7 +25,8 @@ import numpy as np
 
 from diffpir_tpu.models.unet import MODEL_ZOO_CONFIGS, UNet, UNetConfig
 
-__all__ = ["resolve_model", "TINY_TEST_CONFIG", "save_params_npz", "load_params_npz"]
+__all__ = ["resolve_model", "create_model_and_diffusion", "TINY_TEST_CONFIG",
+           "save_params_npz", "load_params_npz"]
 
 log = logging.getLogger(__name__)
 
@@ -102,6 +103,12 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
             log.warning("could not cache converted weights at %s", npz_path)
         return module, params
 
+    demo_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets", "demo",
+        f"{model_name}.flax.npz")
+    if os.path.exists(demo_path):
+        return module, load_params_npz(demo_path)
+
     log.warning(
         "no checkpoint for %r under %s — using RANDOM weights (test fixtures "
         "only; restorations will be meaningless)", model_name, model_zoo)
@@ -109,3 +116,29 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
     params = module.init(jax.random.PRNGKey(init_seed), sample,
                          jnp.zeros((1,), jnp.int32))["params"]
     return module, params
+
+
+def create_model_and_diffusion(model_name: str, model_zoo: str = "model_zoo", *,
+                               num_timesteps: int = 1000,
+                               noise_schedule: str = "linear",
+                               timestep_respacing=None, dtype=jnp.float32,
+                               use_pallas: bool = False):
+    """(module, params, Diffusion) factory — the ergonomic analogue of
+    reference ``script_util.create_model_and_diffusion`` (``script_util.py:74-127``).
+
+    timestep_respacing: None, "ddimN", or section-count string/list (as in
+    reference ``respace.space_timesteps``); learned-range epsilon diffusion
+    matching the published checkpoints.
+    """
+    from diffpir_tpu.diffusion import Diffusion, ModelMeanType, ModelVarType
+    from diffpir_tpu.schedule import NoiseSchedule, space_timesteps
+
+    module, params = resolve_model(model_name, model_zoo, dtype=dtype,
+                                   use_pallas=use_pallas)
+    sched = NoiseSchedule.named(noise_schedule, num_timesteps)
+    timestep_map = None
+    if timestep_respacing:
+        keep = space_timesteps(num_timesteps, timestep_respacing)
+        sched, timestep_map = sched.respaced(sorted(keep))
+    diffusion = Diffusion(sched, ModelMeanType.EPSILON, ModelVarType.LEARNED_RANGE)
+    return module, params, diffusion, timestep_map

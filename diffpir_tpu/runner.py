@@ -228,6 +228,8 @@ class Runner:
             lpips_fn = make_lpips()
 
         psnrs, psnrs_y, lpipss, times, n_imgs = [], [], [], [], 0
+        if save and cfg.task == "inpaint" and cfg.save_progressive_mask and batches:
+            im.imsave_batch(batches[0].mask, batches[0].names, cfg.E_path, "mask_")
         for bi, batch in enumerate(batches):
             t0 = time.perf_counter()
             out = self.restore_batch(batch, lambda_, zeta, seed=cfg.seed + bi)
