@@ -311,4 +311,11 @@ def diffpir_sample(
     if recover_known and mask is not None:
         x = mask * y2 + (1.0 - mask) * x
     x01 = x * 0.5 + 0.5
-    return x01 if frames is None else (x01, frames)
+    if frames is not None:
+        # the slot assigned to the (skipped) final step gets the final state
+        last_slot = slots_tab[n - 1]
+        updated = jax.lax.dynamic_update_index_in_dim(
+            frames, x01, jnp.maximum(last_slot, 0), 0)
+        frames = jnp.where(last_slot >= 0, updated, frames)
+        return x01, frames
+    return x01

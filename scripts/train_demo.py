@@ -20,11 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-IMG = 64
 T = 1000
 
 
-def synth_batch(rng: np.random.Generator, n: int) -> np.ndarray:
+def synth_batch(rng: np.random.Generator, n: int, IMG: int = 64) -> np.ndarray:
     """Random structured images in [-1, 1], (n, IMG, IMG, 3)."""
     yy, xx = np.mgrid[0:IMG, 0:IMG].astype(np.float32) / IMG
     out = np.empty((n, IMG, IMG, 3), np.float32)
@@ -56,6 +55,7 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default="assets/demo/tiny_demo.flax.npz")
+    ap.add_argument("--image-size", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -73,10 +73,13 @@ def main():
     from diffpir_tpu.schedule import NoiseSchedule
     from diffpir_tpu.train.loop import TrainConfig, Trainer
 
-    model = UNet(TINY_TEST_CONFIG, dtype=jnp.bfloat16)
+    IMG = args.image_size
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
+    model = UNet(TINY_TEST_CONFIG, dtype=dtype)
     sched = NoiseSchedule.linear(0.0001, 0.02, T)
     diff = Diffusion(sched, ModelMeanType.EPSILON, ModelVarType.LEARNED_RANGE)
-    tcfg = TrainConfig(lr=args.lr, ema_rates=(0.999,), compute_dtype="bfloat16")
+    tcfg = TrainConfig(lr=args.lr, ema_rates=(0.999,),
+                       compute_dtype="float32" if args.cpu else "bfloat16")
     trainer = Trainer(model, diff, tcfg)
     state = trainer.init_state(jax.random.PRNGKey(0), (1, IMG, IMG, 3))
 
@@ -85,13 +88,17 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        batch = jnp.asarray(synth_batch(rng, args.batch))
+        batch = jnp.asarray(synth_batch(rng, args.batch, IMG))
         state, m = trainer.train_step(state, batch, jax.random.PRNGKey(i))
-        if (i + 1) % 200 == 0:
+        if (i + 1) % 50 == 0:
             loss = float(m["loss"])  # forces sync
             print(f"step {i+1}/{args.steps} loss {loss:.4f} "
                   f"({(time.perf_counter()-t0)/(i+1)*1000:.0f} ms/step)",
                   flush=True)
+        if (i + 1) % 250 == 0:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            save_params_npz(jax.device_get(state["ema"][0]), args.out)
+            print(f"checkpointed at step {i+1}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     ema = jax.device_get(state["ema"][0])

@@ -67,3 +67,6 @@ def test_leh_and_progress_artifacts(tiny_testset):
     strip = Image.open(os.path.join(
         cfg.E_path, next(f for f in files if f.startswith("progress_"))))
     assert strip.size[0] > strip.size[1]  # horizontally concatenated frames
+    # the final frame must be the restored output, not an unwritten zero slot
+    arr = np.asarray(strip)
+    assert arr[:, -IMG:, :].mean() > 1.0
