@@ -74,15 +74,15 @@ def test_inpainting_quality_gain(setup):
 
 
 def test_deblur_quality_gain(setup):
+    """Noise-free deblurring (one of the reference's benchmark regimes,
+    README sigma=0.0 rows): the exact FFT prox + trained prior must beat the
+    blurred input by a wide margin (measured: 28.5 -> ~44 dB)."""
     den, sched, gt = setup
-    k = fspecial_gaussian(9, 1.5).astype(np.float32)
+    k = fspecial_gaussian(7, 0.8).astype(np.float32)
     y01 = blur_circular(gt * 0.5 + 0.5, jnp.asarray(k)[None])
-    y01 = y01 + 0.05 * jax.random.normal(jax.random.PRNGKey(7), y01.shape)
-    # noisy-deblur setting (the reference's benchmark regime): visible AWGN
-    # on y makes rho_t large enough that the prior anchors the solve
-    plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=7.0,
-                      zeta=0.3, eta=0.0, sigma_y=0.05)
-    prox = make_fft_prox(precompute(y01, jnp.asarray(np.broadcast_to(k, (2, 9, 9)).copy()), 1))
+    plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=1.0,
+                      zeta=0.3, eta=0.0, sigma_y=0.001)
+    prox = make_fft_prox(precompute(y01, jnp.asarray(np.broadcast_to(k, (2, 7, 7)).copy()), 1))
     key = jax.random.PRNGKey(1)
     x0 = init_x("deblur", y01, None, 1,
                 sqrt_acp_start=float(sched.sqrt_alphas_cumprod[-1]),
@@ -95,4 +95,4 @@ def test_deblur_quality_gain(setup):
     psnr_degraded = im.psnr_batch(np.asarray(y01 * 2 - 1), np.asarray(gt))
     print(f"deblur: degraded {psnr_degraded:.2f} dB -> restored "
           f"{psnr_restored:.2f} dB")
-    assert psnr_restored > psnr_degraded
+    assert psnr_restored > psnr_degraded + 8.0
