@@ -19,19 +19,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 0.10
-NFE = 100
-BATCH = 8
+NFE = int(os.environ.get("BENCH_NFE", 100))
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 SIZE = 256
 
 
 def main():
-    import os
-
     import jax
     import jax.numpy as jnp
 
