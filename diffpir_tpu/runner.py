@@ -110,10 +110,13 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _plan(self, lambda_: float, zeta: float):
+        rho_mode = ("xprev" if self.cfg.model_output_type == "pred_x_prev"
+                    else "xstart")
         return build_plan(
             self.schedule, iter_num=self.cfg.iter_num, skip_type=self.cfg.skip_type,
             lambda_=lambda_, zeta=zeta, eta=self.cfg.eta, sigma_y=self.cfg.sigma,
-            t_start=self.t_start, noise_model_t=self.noise_model_t)
+            t_start=self.t_start, noise_model_t=self.noise_model_t,
+            rho_mode=rho_mode)
 
     def _restore_fn(self, plan, zeta: float):
         """Build the jitted whole-batch restore function for the current task."""
@@ -140,6 +143,16 @@ class Runner:
                 x = init_x(task, y, mask, cfg.sf,
                            sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0, key=k_init)
             hr_hw = (y.shape[1] * cfg.sf, y.shape[2] * cfg.sf)
+
+            if cfg.model_output_type == "pred_x_prev" and task == "inpaint":
+                from diffpir_tpu.sampler import xprev_sample
+
+                model_fn = lambda xv, tv: self.module.apply(
+                    {"params": params}, xv.astype(self.den.compute_dtype), tv)
+                return xprev_sample(
+                    self.diffusion, model_fn, plan, x, k_samp, y=y, mask=mask,
+                    ddim=cfg.ddim_sample,
+                    recover_known=cfg.generate_mode in ("repaint", "DiffPIR"))
 
             if cfg.generate_mode in ("DPS_y0", "DPS_yt"):
                 op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)

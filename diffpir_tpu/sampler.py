@@ -43,7 +43,7 @@ from diffpir_tpu.schedule import NoiseSchedule, TrajectoryPlan
 
 __all__ = [
     "DenoiserState", "make_denoiser", "make_inpaint_prox", "make_fft_prox",
-    "make_cubic_sr_prox", "diffpir_sample", "init_x",
+    "make_cubic_sr_prox", "diffpir_sample", "xprev_sample", "init_x",
 ]
 
 
@@ -198,6 +198,51 @@ def init_x(task: str, y: jnp.ndarray, mask: Optional[jnp.ndarray], sf: int,
 # ---------------------------------------------------------------------------
 # The trajectory
 # ---------------------------------------------------------------------------
+
+def xprev_sample(
+    diffusion,
+    model_fn: Callable,
+    plan: TrajectoryPlan,
+    x_init: jnp.ndarray,
+    key: jax.Array,
+    *,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    ddim: bool = False,
+    recover_known: bool = True,
+) -> jnp.ndarray:
+    """Inpainting with ``model_output_type='pred_x_prev'``.
+
+    Reference semantics (``main_ddpir.py:365-366, 414-419``): each macro step
+    takes ONE ancestral (or DDIM) micro-step of the base chain at t_i, then
+    applies the masked-average prox to the sampled x directly; there is no
+    DiffPIR renoise, and the final step's model call IS consumed.  Build the
+    plan with ``rho_mode='xprev'`` (sigma_k = sqrt(beta/alpha),
+    ``main_ddpir.py:282-283``).
+    """
+    t_tab = jnp.asarray(plan.t)
+    rho_tab = jnp.asarray(plan.rho)
+    prox_tab = jnp.asarray(plan.prox)
+    y2 = (2.0 * y - 1.0).astype(jnp.float32)
+    n = plan.n_steps
+
+    def step(x, i):
+        b = x.shape[0]
+        t_vec = jnp.full((b,), t_tab[i], jnp.int32)
+        k = jax.random.fold_in(key, i)
+        out = (diffusion.ddim_sample(model_fn, x, t_vec, k) if ddim
+               else diffusion.p_sample(model_fn, x, t_vec, k))
+        x = out["sample"]
+        tau = rho_tab[i]
+        x_p = (mask * y2 + tau * x) / (mask + tau)
+        x = jnp.where(prox_tab[i] & (i < n - 1), x_p, x)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x_init, jnp.arange(n))
+    if recover_known:
+        x = mask * y2 + (1.0 - mask) * x
+    return x * 0.5 + 0.5
+
 
 def _plan_to_device(plan: TrajectoryPlan) -> dict:
     return {

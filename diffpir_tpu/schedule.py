@@ -282,6 +282,7 @@ def build_plan(
     sigma_y: float = 0.05,
     t_start: int | None = None,
     noise_model_t: int = 0,
+    rho_mode: str = "xstart",
 ) -> TrajectoryPlan:
     """Precompute the whole trajectory's scalar tables.
 
@@ -316,7 +317,13 @@ def build_plan(
         sqrt_acp_prev = math.sqrt(acp[t_im1])
         sqrt_1m_acp_prev = math.sqrt(1.0 - acp[t_im1])
         sigma_bar = reduced[t_i]
-        rho = lambda_ * (sigma_y**2) / (sigma_bar**2)
+        if rho_mode == "xprev":
+            # non-(DiffPIR & pred_xstart) branch: sigma_k = sqrt(beta_t/alpha_t)
+            # (main_ddpir.py:282-283)
+            sigma_k2 = betas[t_i] / (1.0 - betas[t_i])
+        else:
+            sigma_k2 = sigma_bar**2
+        rho = lambda_ * (sigma_y**2) / sigma_k2
         eta_sigma = eta * sqrt_1m_acp_prev / sqrt_1m_acp_t * math.sqrt(betas[t_i])
         # loop index j tracks the reference's `i < T - noise_model_t` gate
         prox = (not is_last) and (j < T - noise_model_t)
