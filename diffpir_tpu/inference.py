@@ -19,7 +19,29 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["augment8", "invert8", "x8_apply", "pad_modulo_apply", "split_apply"]
+__all__ = ["augment8", "invert8", "x8_apply", "pad_modulo_apply", "split_apply",
+           "test_mode"]
+
+
+def test_mode(fn: Callable, x, mode: int = 0, *, refield: int = 32,
+              min_size: int = 256, modulo: int = 16):
+    """Dispatch over the reference's evaluation modes
+    (``utils/utils_model.py:16-45``): 0 = direct, 1 = pad-to-modulo,
+    2 = recursive split, 3 = x8 ensemble, 4 = split + x8."""
+    if mode == 0:
+        return fn(x)
+    if mode == 1:
+        return pad_modulo_apply(fn, x, modulo)
+    if mode == 2:
+        return split_apply(fn, x, refield=refield, min_size=min_size,
+                           modulo=modulo)
+    if mode == 3:
+        return x8_apply(fn, x)
+    if mode == 4:
+        return x8_apply(
+            lambda v: split_apply(fn, v, refield=refield, min_size=min_size,
+                                  modulo=modulo), x)
+    raise ValueError(f"unknown test mode {mode}")
 
 
 def _dihedral(x: jnp.ndarray, mode: int) -> jnp.ndarray:
