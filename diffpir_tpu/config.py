@@ -83,6 +83,11 @@ class TaskConfig:
     save_progressive_mask: bool = False
 
     # TPU-native extensions (not in the reference surface)
+    recover_known: bool = False        # overwrite observed pixels in the output
+                                       # (the reference's recovery at
+                                       # main_ddpir.py:475 is dead code: x_0 is
+                                       # computed before it, so faithful default
+                                       # is off; turning it on improves PSNR)
     dtype: str = "bfloat16"            # UNet compute dtype; prox always runs fp32
     use_pallas: bool = False           # fused Pallas kernels for attention/groupnorm
     mesh_shape: Optional[Sequence[int]] = None  # data-parallel device mesh; None = all devices

@@ -114,7 +114,10 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
             mask = np.ones_like(img_L, np.float32)
         else:  # inpaint
             if cfg.load_mask:
-                mask = im.imread_uint(cfg.mask_name, cfg.n_channels).astype(bool)
+                # resolved under testsets/ like the reference
+                # (main_ddpir_inpainting.py mask_path join)
+                mask_path = os.path.join(cfg.testsets, cfg.mask_name)
+                mask = im.imread_uint(mask_path, cfg.n_channels).astype(bool)
                 mask = mask.astype(np.float32)
             else:
                 m2d = make_mask(cfg.mask_type, image_size=H,

@@ -339,18 +339,24 @@ def blur_reflect(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
     Matches ``ReflectionPad2d(ks//2)`` + grouped ``F.conv2d`` with a shared
     kernel per channel (``main_ddpir.py:304-310``); note torch conv2d is
-    correlation (no kernel flip).
+    correlation (no kernel flip).  Kernels are per batch element (B, kh, kw) —
+    the deblur pipeline synthesizes a distinct PSF per image.
     """
     ks = k.shape[-1]
     pad = ks // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     c = x.shape[-1]
-    # depthwise: same spatial kernel replicated over channels
-    kern = jnp.broadcast_to(k[0][:, :, None, None], (ks, ks, 1, c)).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        xp, kern, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+    def one(xi, ki):
+        kern = jnp.broadcast_to(ki[:, :, None, None], (ks, ks, 1, c)).astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            xi[None], kern, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            precision=prec)[0]
+
+    k = jnp.broadcast_to(k, (x.shape[0],) + k.shape[-2:])
+    return jax.vmap(one)(xp, k)
 
 
 def classical_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:

@@ -35,6 +35,15 @@ def cubic_kernel(x: np.ndarray) -> np.ndarray:
             (-0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0) * ((1 < ax) & (ax <= 2)))
 
 
+def cubic_torch_kernel(x: np.ndarray) -> np.ndarray:
+    """Keys cubic with a = -0.75 — torch/OpenCV 'bicubic' (F.interpolate)."""
+    a = -0.75
+    ax = np.abs(x)
+    ax2, ax3 = ax**2, ax**3
+    return (((a + 2) * ax3 - (a + 3) * ax2 + 1.0) * (ax <= 1) +
+            (a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a) * ((1 < ax) & (ax <= 2)))
+
+
 def linear_kernel(x: np.ndarray) -> np.ndarray:
     return (x + 1) * ((-1 <= x) & (x < 0)) + (1 - x) * ((0 <= x) & (x <= 1))
 
@@ -51,6 +60,7 @@ def _lanczos(x: np.ndarray, a: int) -> np.ndarray:
 
 _KERNELS: dict[str, tuple[Callable, float]] = {
     "cubic": (cubic_kernel, 4.0),
+    "cubic_torch": (cubic_torch_kernel, 4.0),
     "linear": (linear_kernel, 2.0),
     "box": (box_kernel, 1.0),
     "lanczos2": (lambda x: _lanczos(x, 2), 4.0),

@@ -122,9 +122,12 @@ class Runner:
         """Build the jitted whole-batch restore function for the current task."""
         cfg = self.cfg
         task = cfg.task
-        sa0 = float(plan.sqrt_acp_t[0]) if plan.t[0] == self.t_start else float(
-            self.schedule.sqrt_alphas_cumprod[self.t_start])
+        sa0 = float(self.schedule.sqrt_alphas_cumprod[self.t_start])
         s1m0 = float(np.sqrt(1 - self.schedule.alphas_cumprod[self.t_start]))
+
+        def model_fn_with(params):
+            return lambda xv, tv: self.module.apply(
+                {"params": params}, xv.astype(self.den.compute_dtype), tv)
 
         def restore(params, y, kernel, mask, key, init=None):
             import dataclasses as _dc
@@ -147,19 +150,15 @@ class Runner:
             if cfg.model_output_type == "pred_x_prev" and task == "inpaint":
                 from diffpir_tpu.sampler import xprev_sample
 
-                model_fn = lambda xv, tv: self.module.apply(
-                    {"params": params}, xv.astype(self.den.compute_dtype), tv)
                 return xprev_sample(
-                    self.diffusion, model_fn, plan, x, k_samp, y=y, mask=mask,
-                    ddim=cfg.ddim_sample,
-                    recover_known=cfg.generate_mode in ("repaint", "DiffPIR"))
+                    self.diffusion, model_fn_with(params), plan, x, k_samp,
+                    y=y, mask=mask, ddim=cfg.ddim_sample,
+                    recover_known=cfg.recover_known)
 
             if cfg.generate_mode in ("DPS_y0", "DPS_yt"):
                 op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)
-                model_fn = lambda xv, tv: self.module.apply(
-                    {"params": params}, xv.astype(self.den.compute_dtype), tv)
                 return dps_sample(
-                    self.diffusion, model_fn, op, plan, x, k_samp,
+                    self.diffusion, model_fn_with(params), op, plan, x, k_samp,
                     mode=cfg.generate_mode, task=task, y=y,
                     lambda_=cfg.lambda_, sigma_y=cfg.sigma)
 
@@ -182,8 +181,7 @@ class Runner:
                 den, prox, plan, x, k_samp, zeta=zeta,
                 iter_num_U=cfg.iter_num_U, generate_mode=cfg.generate_mode,
                 y=y, mask=mask, progress_slots=slots,
-                recover_known=(task == "inpaint"
-                               and cfg.generate_mode in ("repaint", "DiffPIR")))
+                recover_known=(task == "inpaint" and cfg.recover_known))
 
         return jax.jit(restore)
 
@@ -232,6 +230,10 @@ class Runner:
 
         np.random.seed(cfg.seed)
         items = prepare_images(cfg, paths)
+        if not items:
+            raise FileNotFoundError(
+                f"no images found under {cfg.L_path!r} (testset_name="
+                f"{cfg.testset_name!r})")
         batches = make_batches(items, cfg.batch_size,
                                pad_to_batch=self.mesh is not None)
         lpips_fn = None

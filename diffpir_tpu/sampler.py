@@ -182,7 +182,10 @@ def init_x(task: str, y: jnp.ndarray, mask: Optional[jnp.ndarray], sf: int,
     """
     if task == "sr":
         hr = (y.shape[1] * sf, y.shape[2] * sf)
-        x = Resizer2D((y.shape[1], y.shape[2]), float(sf), antialiasing=False)(y)
+        # the reference initializes with torch F.interpolate bicubic (a=-0.75,
+        # align_corners=False, main_ddpir.py:295), not the MATLAB a=-0.5 kernel
+        x = Resizer2D((y.shape[1], y.shape[2]), float(sf),
+                      kernel="cubic_torch", antialiasing=False)(y)
         assert x.shape[1:3] == hr
     elif task == "deblur":
         x = y
@@ -294,7 +297,9 @@ def diffpir_sample(
     """
     tables = _plan_to_device(plan)
     n = plan.n_steps
-    use_prox = generate_mode in ("DiffPIR", "repaint") and prox_fn is not None
+    # the reference runs the data prox ONLY in DiffPIR mode; repaint conditions
+    # purely via noised-known-pixel injection (main_ddpir.py:384-386)
+    use_prox = generate_mode == "DiffPIR" and prox_fn is not None
     sqrt_zeta = float(np.sqrt(zeta))
     sqrt_1m_zeta = float(np.sqrt(1.0 - zeta))
     y2 = None if y is None else (2.0 * y - 1.0).astype(jnp.float32)

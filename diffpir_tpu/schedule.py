@@ -326,6 +326,11 @@ def build_plan(
         rho = lambda_ * (sigma_y**2) / sigma_k2
         eta_sigma = eta * sqrt_1m_acp_prev / sqrt_1m_acp_t * math.sqrt(betas[t_i])
         # loop index j tracks the reference's `i < T - noise_model_t` gate
+        # (main_ddpir.py:391).  Note the comparison is loop-index vs
+        # T-noise_model_t, so with iter_num <= ~880 it never fires for any
+        # realistic noise level; the reference's pred_x_prev fallback behind it
+        # (main_ddpir.py:407-413) is therefore effectively dead code, and this
+        # plan models the gate as a prox-skip only.
         prox = (not is_last) and (j < T - noise_model_t)
         rows.append(
             (t_i, t_im1, sqrt_acp_t, sqrt_1m_acp_t, sqrt_acp_prev, sqrt_1m_acp_prev,

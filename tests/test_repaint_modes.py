@@ -38,7 +38,11 @@ def _cfg(tmp_path, **over):
 
 
 def test_repaint_mode_end_to_end(tiny_testset):
-    cfg = _cfg(tiny_testset, generate_mode="repaint", iter_num_U=2)
+    # repaint conditions only via known-pixel injection (no prox,
+    # main_ddpir.py:384-386); recover_known is the extension that makes known
+    # pixels exact in the output
+    cfg = _cfg(tiny_testset, generate_mode="repaint", iter_num_U=2,
+               recover_known=True)
     runner = Runner(cfg, use_mesh=False)
     res = runner.evaluate(save=False)
     assert np.isfinite(res["psnr"]) and res["psnr"] > 8.0
