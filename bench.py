@@ -46,7 +46,7 @@ def main():
                                    dtype=jnp.bfloat16)
     sched = NoiseSchedule.linear(0.0001, 0.02, 1000)
     plan = build_plan(sched, iter_num=NFE, skip_type="quad", lambda_=1.0,
-                      zeta=1.0, eta=0.0, sigma_y=0.001)
+                      eta=0.0, sigma_y=0.001)
     den = make_denoiser(lambda p, x, t: module.apply({"params": p}, x, t),
                         params, sched, compute_dtype=jnp.bfloat16)
 

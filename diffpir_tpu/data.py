@@ -43,6 +43,10 @@ class Batch:
                                        # (SR classical path: shifted upscale)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def load_kernel_asset(name: str, key: str) -> np.ndarray:
     with np.load(os.path.join(_ASSETS, f"{name}.npz")) as z:
         return z[key]
@@ -99,7 +103,7 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
                 img_L = classical_degradation(im.uint2single(img_H), k, cfg.sf)
                 up = np.asarray(resize2d(
                     jnp.asarray(img_L.astype(np.float32))[None], float(cfg.sf),
-                    antialiasing=False))[0]
+                    kernel="cubic_torch", antialiasing=False))[0]
                 init = shift_pixel(up, cfg.sf).astype(np.float32)
             else:  # cubic
                 img_L = np.asarray(

@@ -83,7 +83,6 @@ def dps_sample(
     task: str,
     y: jnp.ndarray,
     lambda_: float = 1.0,
-    sigma_y: float = 0.05,
 ) -> jnp.ndarray:
     """DPS trajectory as one lax.scan; returns restored image in [0, 1].
 

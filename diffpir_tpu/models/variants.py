@@ -139,6 +139,10 @@ class EncoderUNet(nn.Module):
                              dropout=cfg.dropout, dtype=self.dtype, down=True,
                              name=f"input_blocks_{block_idx}_0")(
                                  h, emb, deterministic=deterministic)
+                if self.pool.startswith("spatial"):
+                    # the reference pools after EVERY input block, including
+                    # each downsample block (unet.py:883-886)
+                    results.append(pool_feat(h))
                 ds *= 2
                 block_idx += 1
 

@@ -110,15 +110,21 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _plan(self, lambda_: float, zeta: float):
-        rho_mode = ("xprev" if self.cfg.model_output_type == "pred_x_prev"
-                    else "xstart")
+        # the reference uses the cumulative sigma-bar ONLY for
+        # (pred_xstart & DiffPIR); every other mode (pred_x_prev, DPS_*,
+        # repaint, vanilla) weights rho with sigma_k = sqrt(beta/alpha)
+        # (main_ddpir.py:279-284)
+        rho_mode = ("xstart"
+                    if (self.cfg.model_output_type == "pred_xstart"
+                        and self.cfg.generate_mode == "DiffPIR")
+                    else "xprev")
         return build_plan(
             self.schedule, iter_num=self.cfg.iter_num, skip_type=self.cfg.skip_type,
-            lambda_=lambda_, zeta=zeta, eta=self.cfg.eta, sigma_y=self.cfg.sigma,
+            lambda_=lambda_, eta=self.cfg.eta, sigma_y=self.cfg.sigma,
             t_start=self.t_start, noise_model_t=self.noise_model_t,
             rho_mode=rho_mode)
 
-    def _restore_fn(self, plan, zeta: float):
+    def _restore_fn(self, plan, zeta: float, lambda_: float):
         """Build the jitted whole-batch restore function for the current task."""
         cfg = self.cfg
         task = cfg.task
@@ -157,10 +163,12 @@ class Runner:
 
             if cfg.generate_mode in ("DPS_y0", "DPS_yt"):
                 op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)
+                # lambda must be the SAME value the plan's rho was built with
+                # (the reference mutates config.lambda_ before test_rho, so the
+                # factor cancels exactly in the DPS_yt step, main_ddpir.py:443)
                 return dps_sample(
                     self.diffusion, model_fn_with(params), op, plan, x, k_samp,
-                    mode=cfg.generate_mode, task=task, y=y,
-                    lambda_=cfg.lambda_, sigma_y=cfg.sigma)
+                    mode=cfg.generate_mode, task=task, y=y, lambda_=lambda_)
 
             if not cfg.sub_1_analytic and task in ("deblur", "sr"):
                 op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)
@@ -194,7 +202,7 @@ class Runner:
         key = (lambda_, zeta, batch.img_L.shape, batch.kernel.shape)
         if key not in self._restore_jit:
             plan = self._plan(lambda_, zeta)
-            self._restore_jit[key] = self._restore_fn(plan, zeta)
+            self._restore_jit[key] = self._restore_fn(plan, zeta, lambda_)
         fn = self._restore_jit[key]
 
         y = jnp.asarray(batch.img_L)
@@ -260,8 +268,15 @@ class Runner:
             psnr = im.psnr_batch(x0 * 2 - 1, gt * 2 - 1)
             psnrs.append(psnr * nb)
             if cfg.n_channels == 3:
-                psnr_y = im.psnr_batch(im.rgb_to_y_batch(x0 * 2 - 1),
-                                       im.rgb_to_y_batch(gt * 2 - 1))
+                # reference metric composition: PSNR over a 3-channel tensor
+                # whose Cb/Cr are zeros (utils_image.py:482-484 fills only
+                # channel 0), i.e. logged PSNR-Y = true Y-PSNR + 10*log10(3)
+                def y3(v):
+                    yc = im.rgb_to_y_batch(v)
+                    return np.concatenate([yc, np.zeros_like(yc),
+                                           np.zeros_like(yc)], axis=-1)
+
+                psnr_y = im.psnr_batch(y3(x0 * 2 - 1), y3(gt * 2 - 1))
                 psnrs_y.append(psnr_y * nb)
             msg = f"batch{bi + 1:->4d}--> PSNR: {psnr:.4f}dB"
             if lpips_fn is not None:

@@ -277,7 +277,6 @@ def build_plan(
     iter_num: int,
     skip_type: str = "quad",
     lambda_: float = 1.0,
-    zeta: float = 0.25,
     eta: float = 0.0,
     sigma_y: float = 0.05,
     t_start: int | None = None,

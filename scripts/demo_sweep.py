@@ -32,7 +32,7 @@ for ks, sig_k in ((7, 0.8), (9, 1.5)):
     for lam, zeta, gs in ((7.0, 0.3, 1.0), (20.0, 0.3, 1.0), (7.0, 0.3, 0.5),
                           (50.0, 0.5, 1.0)):
         plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=lam,
-                          zeta=zeta, eta=0.0, sigma_y=0.05)
+                          eta=0.0, sigma_y=0.05)
         prox = make_fft_prox(precompute(
             y01, jnp.asarray(np.broadcast_to(k, (2, ks, ks)).copy()), 1),
             guidance_scale=gs)

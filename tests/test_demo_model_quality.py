@@ -54,7 +54,7 @@ def test_inpainting_quality_gain(setup):
     y = (gt * 0.5 + 0.5) * mask  # observed pixels in [0,1]
 
     plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=1.0,
-                      zeta=1.0, eta=0.0, sigma_y=0.001)
+                      eta=0.0, sigma_y=0.001)
     prox = make_inpaint_prox(y, mask)
     key = jax.random.PRNGKey(0)
     x0 = init_x("inpaint", y, mask, 1,
@@ -81,7 +81,7 @@ def test_deblur_quality_gain(setup):
     k = fspecial_gaussian(7, 0.8).astype(np.float32)
     y01 = blur_circular(gt * 0.5 + 0.5, jnp.asarray(k)[None])
     plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=1.0,
-                      zeta=0.3, eta=0.0, sigma_y=0.001)
+                      eta=0.0, sigma_y=0.001)
     prox = make_fft_prox(precompute(y01, jnp.asarray(np.broadcast_to(k, (2, 7, 7)).copy()), 1))
     key = jax.random.PRNGKey(1)
     x0 = init_x("deblur", y01, None, 1,

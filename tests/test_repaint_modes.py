@@ -59,7 +59,7 @@ def test_iter_num_u_changes_trajectory():
         return jnp.concatenate([jnp.tanh(x) * 0.1, jnp.zeros_like(x)], axis=-1)
 
     den = make_denoiser(apply_fn, None, sched)
-    plan = build_plan(sched, iter_num=4, skip_type="quad", zeta=0.5, sigma_y=0.05)
+    plan = build_plan(sched, iter_num=4, skip_type="quad", sigma_y=0.05)
     prox = make_inpaint_prox(y, mask)
     x0 = jnp.zeros((1, 16, 16, 3))
     outs = {}

@@ -152,7 +152,7 @@ def test_trajectory_matches_reference(tiny_models, task):
         None if mask3 is None else mask3.transpose(0, 3, 1, 2), k2d)
 
     plan = build_plan(sched, iter_num=N_STEPS, skip_type="quad",
-                      lambda_=1.0, zeta=0.0, eta=0.0, sigma_y=0.05)
+                      lambda_=1.0, eta=0.0, sigma_y=0.05)
     den = make_denoiser(
         lambda p, x, t: flax_model.apply({"params": p}, x, t), params, sched)
     yj = jnp.asarray(y)
@@ -173,7 +173,7 @@ def test_trajectory_matches_reference(tiny_models, task):
 def test_vanilla_mode_ignores_prox(tiny_models):
     _, flax_model, params = tiny_models
     sched = NoiseSchedule.linear(0.0001, 0.02, T)
-    plan = build_plan(sched, iter_num=4, skip_type="quad", zeta=0.0, eta=0.0)
+    plan = build_plan(sched, iter_num=4, skip_type="quad", eta=0.0)
     den = make_denoiser(
         lambda p, x, t: flax_model.apply({"params": p}, x, t), params, sched)
     x_init = jnp.zeros((1, IMG, IMG, 3))

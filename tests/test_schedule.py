@@ -94,7 +94,7 @@ def test_make_seq_reference_formulas():
 def test_build_plan_tables():
     s = NoiseSchedule.linear(0.0001, 0.02, 1000)
     plan = build_plan(s, iter_num=20, skip_type="quad", lambda_=1.0,
-                      zeta=1.0, eta=0.0, sigma_y=0.05)
+                      eta=0.0, sigma_y=0.05)
     assert plan.n_steps == 20
     # t descending, starting at T-1 (seq quad starts at 0 -> t = 999)
     assert plan.t[0] == 999 and np.all(np.diff(plan.t) < 0)
