@@ -108,19 +108,21 @@ def prox_solve(x0: jnp.ndarray, op: ProxOperator, tau: jnp.ndarray) -> jnp.ndarr
     tau = jnp.asarray(tau, jnp.float32)
     tau_b = tau.reshape((-1,) + (1,) * 3) if tau.ndim else tau
     sf = op.sf
+    # Cancellation-free reformulation of the reference's distinct-block solve
+    # (``utils_sisr.py:65-75``), algebraically identical but WITHOUT the /tau
+    # that amplifies fp32 rounding ~1/rho_t-fold at early-trajectory taus:
+    # since S^T y's spectrum is alias-periodic (zero-fill upsampling),
+    # mean_blocks(FB * FBFy) = invW * FBFy per block, and the Woodbury form
+    # collapses to
+    #     FX = F0 + (FBFy - FBC * tile(mean_blocks(FB * F0))/...) /
+    #          (tile(invW) + tau)
+    # which reduces to (FBFy + tau*F0)/(|FB|^2 + tau) at sf=1.
+    F0 = jnp.fft.fft2(x0, axes=(1, 2))
     if sf == 1:
-        # Algebraically identical to the general formula below but free of the
-        # catastrophic (FR - FBC*FB*FR/(|FB|^2+tau))/tau cancellation: for sf=1
-        # the solve reduces to FX = (FBFy + tau*F0) / (|FB|^2 + tau).  At the
-        # tiny tau=rho_t values early in a DiffPIR trajectory this is the
-        # difference between fp32-exact and ~1e-2 noise.
-        F0 = jnp.fft.fft2(x0, axes=(1, 2))
         FX = (op.FBFy + tau_b * F0) / (op.F2B + tau_b)
         return jnp.real(jnp.fft.ifft2(FX, axes=(1, 2)))
-    FR = op.FBFy + jnp.fft.fft2(tau_b * x0, axes=(1, 2))
-    FBR = alias_block_mean(op.FB * FR, sf)
     invW = alias_block_mean(op.F2B, sf)
-    invWBR = FBR / (invW + tau_b)
-    FCBinvWBR = op.FBC * jnp.tile(invWBR, (1, sf, sf, 1))
-    FX = (FR - FCBinvWBR) / tau_b
+    FBF0_mean = alias_block_mean(op.FB * F0, sf)
+    denom = jnp.tile(invW, (1, sf, sf, 1)) + tau_b
+    FX = F0 + (op.FBFy - op.FBC * jnp.tile(FBF0_mean, (1, sf, sf, 1))) / denom
     return jnp.real(jnp.fft.ifft2(FX, axes=(1, 2)))

@@ -148,6 +148,51 @@ def test_sf1_stable_form_beats_general_form():
     assert err_ours < err_ref / 10
 
 
+def test_sf2_stable_form_beats_reference_formula():
+    """At tiny tau, the cancellation-free general-sf form must track the fp64
+    exact solve far better than the reference's /tau formulation (sf=2)."""
+    rng = np.random.default_rng(11)
+    sf, n = 2, 8
+    k = fspecial_gaussian(3, 0.6).astype(np.float32)
+    x0 = rng.random((1, n * sf, n * sf, 1)).astype(np.float32)
+    y = rng.random((1, n, n, 1)).astype(np.float32)
+    tau = 1e-5
+
+    op = precompute(jnp.asarray(y), jnp.asarray(k)[None], sf)
+    ours = np.asarray(prox_solve(jnp.asarray(x0), op, tau))
+
+    # fp64 exact via dense normal equations
+    N = (n * sf) ** 2
+    Hmat = np.zeros((n * n, N))
+    for j in range(N):
+        e = np.zeros((1, n * sf, n * sf, 1), np.float32)
+        e.flat[j] = 1.0
+        col = np.asarray(downsample_strided(
+            blur_circular(jnp.asarray(e), jnp.asarray(k)[None]), sf))
+        Hmat[:, j] = col.flatten()
+    A = Hmat.astype(np.float64)
+    exact = np.linalg.solve(A.T @ A + tau * np.eye(N),
+                            A.T @ y.flatten().astype(np.float64)
+                            + tau * x0.flatten().astype(np.float64)).reshape(ours.shape)
+
+    # fp32 transcription of the reference's general-sf formula
+    F0 = np.fft.fft2(x0[..., 0], axes=(1, 2)).astype(np.complex64)[..., None]
+    FR = np.asarray(op.FBFy) + tau * F0
+    def amean(a):
+        b, H, W, c = a.shape
+        return a.reshape(b, sf, H // sf, sf, W // sf, c).mean(axis=(1, 3))
+    FBR = amean(np.asarray(op.FB) * FR)
+    invW = amean(np.asarray(op.F2B))
+    invWBR = FBR / (invW + tau)
+    FX = (FR - np.asarray(op.FBC) * np.tile(invWBR, (1, sf, sf, 1))) / tau
+    ref_form = np.real(np.fft.ifft2(FX[..., 0], axes=(1, 2)))[..., None]
+
+    err_ours = np.abs(ours - exact).max()
+    err_ref = np.abs(ref_form - exact).max()
+    assert err_ours < 1e-4
+    assert err_ours < err_ref / 10
+
+
 def test_blur_circular_matches_scipy_wrap():
     from scipy import ndimage
 

@@ -170,6 +170,78 @@ def test_trajectory_matches_reference(tiny_models, task):
     np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-3)
 
 
+def test_sr_trajectory_matches_reference(tiny_models):
+    """SR (blur mode, sf=2): full trajectory incl. the sf-split FFT solve."""
+    torch_model, flax_model, params = tiny_models
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(6)
+    sf = 2
+    gt = rng.random((1, IMG, IMG, 3)).astype(np.float32)
+    k2d = fspecial_gaussian(5, 0.6).astype(np.float32)
+    # LR observation: matlab-bicubic downscale of gt (main_ddpir.py:89)
+    from diffpir_tpu.ops.resize import resize2d
+
+    y = np.asarray(resize2d(jnp.asarray(gt), 1 / sf)).astype(np.float32)
+
+    sched = NoiseSchedule.linear(0.0001, 0.02, T)
+    # shared x_init: torch-bicubic upscale of y then diffused (main_ddpir.py:295,315)
+    up = F.interpolate(torch.from_numpy(y.transpose(0, 3, 1, 2)),
+                       size=(IMG, IMG), mode="bicubic",
+                       align_corners=False).numpy().transpose(0, 2, 3, 1)
+    noise = rng.standard_normal(up.shape).astype(np.float32)
+    x_init = (np.sqrt(sched.alphas_cumprod[-1]) * (2 * up - 1)
+              + np.sqrt(1 - sched.alphas_cumprod[-1]) * noise).astype(np.float32)
+
+    # torch reference loop with the sf-split data_solution
+    diffusion = create_gaussian_diffusion(steps=T, learn_sigma=True,
+                                          noise_schedule="linear")
+    betas = np.linspace(0.0001, 0.02, T, dtype=np.float32)
+    acp = torch.from_numpy(np.cumprod(1.0 - betas, axis=0))
+    sqrt_acp, sqrt_1m = torch.sqrt(acp), torch.sqrt(1.0 - acp)
+    reduced = sqrt_1m / sqrt_acp
+    sigmas = [reduced[T - 1 - i] for i in range(T)]
+    rhos = torch.tensor([0.05**2 / (reduced[i] ** 2) for i in range(T)])
+    yt = torch.from_numpy(y.transpose(0, 3, 1, 2))
+    kt = torch.from_numpy(np.broadcast_to(k2d, (1, 3) + k2d.shape).copy())
+    FB, FBC, F2B, FBFy = ref_sr.pre_calculate(yt, kt, sf)
+    x = torch.from_numpy(x_init.transpose(0, 3, 1, 2).copy())
+    seq = make_seq(T, N_STEPS, "quad")
+    with torch.no_grad():
+        for i in range(len(seq)):
+            curr_sigma = sigmas[seq[i]].numpy()
+            t_i = utils_model.find_nearest(reduced, curr_sigma)
+            x0 = utils_model.model_fn(
+                x, noise_level=curr_sigma * 255, model_out_type="pred_xstart",
+                model_diffusion=torch_model, diffusion=diffusion,
+                ddim_sample=False, alphas_cumprod=acp)
+            if seq[i] != seq[-1]:
+                tau = rhos[t_i].float()
+                x0_p = ref_sr.data_solution((x0 / 2 + 0.5).float(), FB, FBC,
+                                            F2B, FBFy, tau, sf) * 2 - 1
+                x0 = x0 + 1.0 * (x0_p - x0)
+                t_im1 = utils_model.find_nearest(reduced, sigmas[seq[i + 1]].numpy())
+                eps = (x - sqrt_acp[t_i] * x0) / sqrt_1m[t_i]
+                x = sqrt_acp[t_im1] * x0 + sqrt_1m[t_im1] * eps
+    ref = (x / 2 + 0.5).numpy()
+
+    plan = build_plan(sched, iter_num=N_STEPS, skip_type="quad",
+                      lambda_=1.0, eta=0.0, sigma_y=0.05)
+    den = make_denoiser(
+        lambda p, xx, t: flax_model.apply({"params": p}, xx, t), params, sched)
+    prox = make_fft_prox(precompute(jnp.asarray(y), jnp.asarray(k2d)[None], sf))
+    out = diffpir_sample(den, prox, plan, jnp.asarray(x_init),
+                         jax.random.PRNGKey(0), zeta=0.0,
+                         generate_mode="DiffPIR", y=jnp.asarray(y))
+    ours = np.asarray(out).transpose(0, 3, 1, 2)
+    # our sf-split solve is cancellation-free, but the reference's /tau
+    # formulation amplifies ITS OWN fp32 rounding ~1/rho-fold at early steps
+    # (test_fft_prox.test_sf2_stable_form_beats_reference_formula quantifies
+    # it); the residual gap here is the reference's noise floor
+    assert np.abs(ours - ref).mean() < 5e-3
+    assert np.abs(ours - ref).max() < 6e-2
+
+
 def test_vanilla_mode_ignores_prox(tiny_models):
     _, flax_model, params = tiny_models
     sched = NoiseSchedule.linear(0.0001, 0.02, T)
