@@ -1,0 +1,64 @@
+"""Serving layer: warm-batch request handling and the folder frontend."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffpir_tpu.config import load_config
+from diffpir_tpu.serve import RestorationService, serve_folder
+from diffpir_tpu.utils import image as im
+
+IMG = 64
+
+
+@pytest.fixture()
+def tiny_env(tmp_path):
+    rng = np.random.default_rng(0)
+    tdir = tmp_path / "testsets" / "tiny"
+    tdir.mkdir(parents=True)
+    for i in range(3):
+        x = np.zeros((IMG, IMG, 3), np.float32)
+        x[:, :] = rng.random(3)
+        x[20:44, 20:44] = rng.random(3)
+        im.imsave(im.single2uint(x), str(tdir / f"img{i}.png"))
+    return tmp_path
+
+
+def _cfg(tmp_path, **over):
+    o = dict(task="inpaint", model_name="tiny_test", testset_name="tiny",
+             cwd=str(tmp_path), iter_num=3, batch_size=2, seed=0,
+             save_E=False, save_L=False, dtype="float32", noise_level_img=0,
+             mask_prob_range=[0.3, 0.3], recover_known=True)
+    o.update(over)
+    return load_config(None, o)
+
+
+def test_service_handles_arbitrary_request_sizes(tiny_env):
+    cfg = _cfg(tiny_env)
+    svc = RestorationService(cfg, use_mesh=False, service_batch=2)
+    rng = np.random.default_rng(1)
+    masks = [(rng.random((IMG, IMG)) > 0.3).astype(np.float32) for _ in range(3)]
+    imgs = [rng.random((IMG, IMG, 3)).astype(np.float32) * m[:, :, None]
+            for m in masks]
+    outs = svc.restore(imgs, masks=masks)  # 3 requests through batch-2 programs
+    assert len(outs) == 3
+    for o, img, m in zip(outs, imgs, masks):
+        assert o.shape == (IMG, IMG, 3)
+        assert np.isfinite(o).all()
+        # known pixels recovered (recover_known=True)
+        np.testing.assert_allclose(o[m > 0], img[m > 0], atol=1e-5)
+    # the compiled program is reused: second call must not retrace
+    n_compiled = len(svc.runner._restore_jit)
+    svc.restore(imgs[:1], masks=masks[:1])
+    assert len(svc.runner._restore_jit) == n_compiled
+
+
+def test_serve_folder(tiny_env, tmp_path):
+    cfg = _cfg(tiny_env)
+    out_dir = str(tmp_path / "served")
+    stats = serve_folder(cfg, str(tiny_env / "testsets" / "tiny"), out_dir,
+                         use_mesh=False)
+    assert stats["n_images"] == 3
+    files = os.listdir(out_dir)
+    assert sum(f.startswith("restored_") for f in files) == 3
