@@ -93,6 +93,25 @@ def test_batch_sharded_over_mesh(tiny_testset):
     assert res["n_images"] == 3  # padded batch sliced back to real images
 
 
+def test_fft_prox_task_sharded_over_mesh(tiny_testset):
+    """Deblur (FFT prox + per-image kernels) under batch sharding: the FFTs
+    are purely per-element so the mesh path needs no collectives."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device backend")
+    cfg = _config(tiny_testset, "deblur", batch_size=8, save_E=False,
+                  kernel_size=9)
+    cfg.kernel_std = 0.5
+    runner = Runner(cfg, use_mesh=True)
+    res = runner.evaluate(save=False)
+    assert res["n_images"] == 3 and np.isfinite(res["psnr"])
+    # sharded result == single-device result (same seeds/plan)
+    runner1 = Runner(cfg, use_mesh=False)
+    res1 = runner1.evaluate(save=False)
+    assert res["psnr"] == pytest.approx(res1["psnr"], abs=1e-3)
+
+
 def test_reference_sweep_grids(tiny_testset):
     sr = _config(tiny_testset, "sr")
     assert len(reference_sweep(sr)) == 11
