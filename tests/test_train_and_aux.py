@@ -171,3 +171,28 @@ def test_classifier_guidance_shifts_mean():
 
     dd = diff.ddim_sample(model_fn, x, t, jax.random.PRNGKey(0), cond_fn=cond)
     assert np.isfinite(np.asarray(dd["sample"])).all()
+
+
+def test_model_summary_utils():
+    from diffpir_tpu.models.summary import count_params, describe_model, describe_params
+
+    params = {"layer": {"kernel": np.zeros((3, 4)), "bias": np.zeros(4)}}
+    assert count_params(params) == 16
+    desc = describe_model(params, "toy")
+    assert "params number: 16" in desc
+    table = describe_params(params)
+    assert "layer/kernel" in table and "mean" in table
+
+
+def test_kvlogger_profile_decorator(tmp_path):
+    kvlogger.reset()
+    kvlogger.configure(str(tmp_path), ["log"])
+
+    @kvlogger.profile("work")
+    def slow():
+        return 42
+
+    assert slow() == 42
+    out = kvlogger.dumpkvs()
+    assert out["wait_work"] >= 0
+    kvlogger.reset()
