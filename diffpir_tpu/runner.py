@@ -320,3 +320,47 @@ class Runner:
     def evaluate_sweep(self, **kw) -> list[dict]:
         return [self.evaluate(lambda_=l, zeta=z, **kw)
                 for l, z in reference_sweep(self.cfg)]
+
+
+def dryrun_restore(n_devices: int) -> None:
+    """Compile + execute mesh-sharded inference on tiny shapes.
+
+    The multi-chip *inference* half of the driver gate (the headline
+    capability per BASELINE.json): an ``n_devices``-wide data-parallel mesh,
+    batch sharded over the 'data' axis, replicated params, whole trajectory as
+    one ``lax.scan``.  Covers both prox families — the mask-average inpaint
+    prox and the FFT Wiener deblur prox (reference ``main_ddpir.py:384-445``).
+    """
+    from diffpir_tpu.config import load_config
+
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}")
+    rng = np.random.default_rng(0)
+    H = 64
+    img_H = rng.integers(0, 256, (n_devices, H, H, 3)).astype(np.uint8)
+
+    for task in ("inpaint", "deblur"):
+        cfg = load_config(None, overrides=dict(
+            task=task, model_name="tiny_test", iter_num=2, iter_num_U=1,
+            batch_size=n_devices, noise_level_img=0.0, seed=0,
+            dtype="float32", save_L=False, save_E=False,
+            mesh_shape=(n_devices,)))
+        runner = Runner(cfg, use_mesh=True)
+        assert runner.mesh is not None, "mesh construction failed"
+        if task == "inpaint":
+            mask = (rng.uniform(size=img_H.shape) > 0.5).astype(np.float32)
+            img_L = img_H.astype(np.float32) * mask / 255.0
+            kernel = np.ones((n_devices, 1, 1), np.float32)
+        else:
+            mask = np.ones(img_H.shape, np.float32)
+            img_L = img_H.astype(np.float32) / 255.0
+            k1 = np.zeros((7, 7), np.float32)
+            k1[3, 3] = 1.0  # identity PSF — shape-realistic, numerically tame
+            kernel = np.broadcast_to(k1, (n_devices, 7, 7)).copy()
+        batch = Batch(img_H=img_H, img_L=img_L.astype(np.float32),
+                      kernel=kernel, mask=mask,
+                      names=[f"im{i}" for i in range(n_devices)])
+        out = runner.restore_batch(batch)
+        assert out.shape == img_H.shape, (out.shape, img_H.shape)
+        assert np.isfinite(out).all(), f"non-finite restore output ({task})"
+    print(f"dryrun_restore({n_devices}): OK (inpaint + deblur)")
