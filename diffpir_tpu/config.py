@@ -73,6 +73,12 @@ class TaskConfig:
     blur_mode: str = "Gaussian"        # Gaussian | motion
     kernel_size: int = 61
     kernel_std: float = 3.0
+    ty_init: bool = True               # init x from noisy y at t_y with the
+                                       # effective-alpha formula, as the
+                                       # reference's standalone deblur driver
+                                       # does (main_ddpir_deblur.py:227-231);
+                                       # off = unified-driver behavior
+                                       # (diffuse y from scratch)
 
     # inpaint-only
     mask_name: str = ""

@@ -89,6 +89,15 @@ class Runner:
             self.schedule.sigma_to_t(2 * cfg.noise_level_model)
             if cfg.skip_noise_model_t else 0)
 
+        # deblur t_y init: y is treated as already noised to t_y
+        # (main_ddpir_deblur.py:227-231; see sampler.init_x)
+        self.ty_scale = None
+        if cfg.task == "deblur" and cfg.ty_init:
+            t_y = self.schedule.sigma_to_t(2 * cfg.noise_level_img)
+            self.ty_scale = (
+                float(self.schedule.sqrt_alphas_cumprod[t_y]),
+                float(np.sqrt(1 - self.schedule.alphas_cumprod[t_y])))
+
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self.module, params = resolve_model(
             cfg.model_name, cfg.model_zoo, dtype=dtype, use_pallas=cfg.use_pallas)
@@ -150,7 +159,8 @@ class Runner:
                 x = sa0 * (2.0 * init - 1.0) + s1m0 * noise
             else:
                 x = init_x(task, y, mask, cfg.sf,
-                           sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0, key=k_init)
+                           sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0,
+                           key=k_init, ty=self.ty_scale)
             hr_hw = (y.shape[1] * cfg.sf, y.shape[2] * cfg.sf)
 
             if cfg.model_output_type == "pred_x_prev" and task == "inpaint":

@@ -174,11 +174,21 @@ def make_cubic_sr_prox(y: jnp.ndarray, sf: int, *, gamma: float = 0.01,
 
 def init_x(task: str, y: jnp.ndarray, mask: Optional[jnp.ndarray], sf: int,
            *, sqrt_acp_start: float, sqrt_1m_acp_start: float,
-           key: jax.Array) -> jnp.ndarray:
+           key: jax.Array, ty: Optional[tuple[float, float]] = None) -> jnp.ndarray:
     """x_{t_start} initialization (reference ``main_ddpir.py:293-316``).
 
     sr: cubic-upsampled y; deblur: y; inpaint: y*mask — then diffused to
     t_start with the forward kernel.
+
+    ty: optional ``(sqrt_acp[t_y], sqrt_1m_acp[t_y])`` — the reference's
+    standalone deblur driver treats the noisy observation y as already sitting
+    at timestep t_y (the step whose equivalent image-noise sigma matches
+    2*noise_level_img) and diffuses it the REST of the way with the
+    effective-alpha formula (``main_ddpir_deblur.py:227-231``):
+        sae = sqrt_acp[t_start] / sqrt_acp[t_y]
+        x   = sae*(2y-1) + sqrt(sqrt_1m_acp[t_start]^2
+                                - sae^2*sqrt_1m_acp[t_y]^2) * n
+    i.e. the injected variance is reduced by the noise y already carries.
     """
     if task == "sr":
         hr = (y.shape[1] * sf, y.shape[2] * sf)
@@ -195,6 +205,12 @@ def init_x(task: str, y: jnp.ndarray, mask: Optional[jnp.ndarray], sf: int,
         raise ValueError(task)
     x = x.astype(jnp.float32)
     noise = jax.random.normal(key, x.shape, jnp.float32)
+    if ty is not None:
+        sqrt_acp_ty, sqrt_1m_acp_ty = ty
+        sae = sqrt_acp_start / sqrt_acp_ty
+        coef = float(np.sqrt(max(
+            sqrt_1m_acp_start**2 - sae**2 * sqrt_1m_acp_ty**2, 0.0)))
+        return sae * (2.0 * x - 1.0) + coef * noise
     return sqrt_acp_start * (2.0 * x - 1.0) + sqrt_1m_acp_start * noise
 
 

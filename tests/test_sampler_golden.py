@@ -255,3 +255,60 @@ def test_vanilla_mode_ignores_prox(tiny_models):
     out = diffpir_sample(den, poison, plan, x_init, jax.random.PRNGKey(1),
                          zeta=0.0, generate_mode="vanilla")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_deblur_ty_trajectory_matches_reference(tiny_models):
+    """Noisy-deblur (sigma = 12.75/255) with the standalone deblur driver's
+    t_y initialization (``main_ddpir_deblur.py:227-231``): x_init is built by
+    the effective-alpha formula on BOTH sides (shared noise), then the full
+    trajectory must agree as in test_trajectory_matches_reference."""
+    torch_model, flax_model, params = tiny_models
+    rng = np.random.default_rng(9)
+    sigma = 12.75 / 255
+
+    gt = rng.random((1, IMG, IMG, 3)).astype(np.float32)
+    k2d = fspecial_gaussian(5, 0.6).astype(np.float32)
+    y = np.asarray(blur_circular(jnp.asarray(gt), jnp.asarray(k2d)[None]))
+    y = np.clip(y + rng.normal(0, sigma, y.shape), 0, 1).astype(np.float32)
+
+    sched = NoiseSchedule.linear(0.0001, 0.02, T)
+    # reference t_y init transcription (torch)
+    acp_t = torch.cumprod(1.0 - torch.from_numpy(
+        np.linspace(0.0001, 0.02, T, dtype=np.float32)), dim=0)
+    sqrt_acp_t, sqrt_1m_t = torch.sqrt(acp_t), torch.sqrt(1.0 - acp_t)
+    reduced_t = sqrt_1m_t / sqrt_acp_t
+    t_y = int(torch.argmin((reduced_t - 2 * sigma).abs()))
+    sae = float(sqrt_acp_t[T - 1] / sqrt_acp_t[t_y])
+    coef = float(torch.sqrt(sqrt_1m_t[T - 1] ** 2 - sae**2 * sqrt_1m_t[t_y] ** 2))
+    noise = rng.standard_normal(y.shape).astype(np.float32)
+    x_init = (sae * (2 * y - 1) + coef * noise).astype(np.float32)
+
+    # our init_x(ty=...) reproduces the same x_init given the same noise
+    from diffpir_tpu.sampler import init_x
+
+    ty = (float(sched.sqrt_alphas_cumprod[sched.sigma_to_t(2 * sigma)]),
+          float(np.sqrt(1 - sched.alphas_cumprod[sched.sigma_to_t(2 * sigma)])))
+    key = jax.random.PRNGKey(4)
+    ours_init = np.asarray(init_x(
+        "deblur", jnp.asarray(y), None, 1,
+        sqrt_acp_start=float(sched.sqrt_alphas_cumprod[-1]),
+        sqrt_1m_acp_start=float(np.sqrt(1 - sched.alphas_cumprod[-1])),
+        key=key, ty=ty))
+    jnoise = np.asarray(jax.random.normal(key, y.shape, jnp.float32))
+    np.testing.assert_allclose(
+        ours_init, sae * (2 * y - 1) + coef * jnoise, rtol=1e-5, atol=1e-6)
+
+    ref = reference_trajectory(
+        torch_model, x_init.transpose(0, 3, 1, 2), "deblur",
+        y.transpose(0, 3, 1, 2), None, k2d, sigma=sigma)
+
+    plan = build_plan(sched, iter_num=N_STEPS, skip_type="quad",
+                      lambda_=1.0, eta=0.0, sigma_y=sigma)
+    den = make_denoiser(
+        lambda p, x, t: flax_model.apply({"params": p}, x, t), params, sched)
+    prox = make_fft_prox(precompute(jnp.asarray(y), jnp.asarray(k2d)[None], 1))
+    out = diffpir_sample(den, prox, plan, jnp.asarray(x_init),
+                         jax.random.PRNGKey(0), zeta=0.0,
+                         generate_mode="DiffPIR", y=jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=5e-3, rtol=1e-3)
