@@ -60,6 +60,15 @@ class TaskConfig:
     save_E: bool = True
     save_LEH: bool = False             # side-by-side L|E|H montage (sisr driver)
     calc_LPIPS: bool = False
+    calc_SSIM: bool = True             # log SSIM alongside PSNR (the reference
+                                       # implements it, utils_image.py:616-661,
+                                       # but its drivers never call it)
+    psnr_y_mode: str = "reference"     # 'reference': zero-padded-CbCr PSNR-Y
+                                       # (bug-parity with utils_image.py:482-484,
+                                       # = true Y-PSNR + 10*log10(3));
+                                       # 'true': honest Y-channel PSNR (what the
+                                       # standalone sisr driver computes,
+                                       # main_ddpir_sisr.py:458-462)
 
     # sr-only
     sf: int = 1
@@ -114,6 +123,8 @@ class TaskConfig:
             raise ValueError(f"task must be one of {_VALID_TASKS}, got {self.task!r}")
         if self.generate_mode not in _VALID_MODES:
             raise ValueError(f"generate_mode must be one of {_VALID_MODES}")
+        if self.psnr_y_mode not in ("reference", "true"):
+            raise ValueError("psnr_y_mode must be 'reference' or 'true'")
         # YAML carries /255 units (reference main_ddpir.py:138 divides unconditionally)
         self.noise_level_img = float(self.noise_level_img) / 255.0
         self.noise_level_model = self.noise_level_img

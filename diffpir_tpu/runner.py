@@ -40,7 +40,29 @@ from diffpir_tpu.sampler import (
 from diffpir_tpu.schedule import NoiseSchedule, build_plan
 from diffpir_tpu.utils import image as im
 
-__all__ = ["Runner", "reference_sweep", "setup_logger"]
+__all__ = ["Runner", "reference_sweep", "setup_logger", "overlap_dispatch"]
+
+
+def overlap_dispatch(items, dispatch, consume) -> None:
+    """Double-buffered device/host overlap for the eval loop.
+
+    Dispatches item i+1 to the device BEFORE host-consuming item i, so host
+    work (metric computation, PNG writes) for one batch runs while the device
+    computes the next (jax dispatch is asynchronous; the host only blocks at
+    the fetch inside ``consume``).  ``dispatch(i, item) -> out`` must not
+    block; ``consume(i, item, out, t_dispatch)`` fetches and post-processes.
+    """
+    import time as _time
+
+    pending = None
+    for i, item in enumerate(items):
+        t0 = _time.perf_counter()
+        out = dispatch(i, item)
+        if pending is not None:
+            consume(*pending)
+        pending = (i, item, out, t0)
+    if pending is not None:
+        consume(*pending)
 
 log = logging.getLogger("diffpir_tpu")
 
@@ -204,8 +226,14 @@ class Runner:
         return jax.jit(restore)
 
     def restore_batch(self, batch: Batch, lambda_: Optional[float] = None,
-                      zeta: Optional[float] = None, seed: int = 0) -> np.ndarray:
-        """Restore one batch; returns float [0,1] (B,H,W,C)."""
+                      zeta: Optional[float] = None, seed: int = 0,
+                      fetch: bool = True) -> np.ndarray:
+        """Restore one batch; returns float [0,1] (B,H,W,C).
+
+        fetch=False returns the (asynchronously dispatching) device arrays
+        without blocking — the eval loop uses this to overlap host work for
+        batch i with device compute for batch i+1.
+        """
         cfg = self.cfg
         lambda_ = cfg.lambda_ if lambda_ is None else lambda_
         zeta = cfg.zeta if zeta is None else zeta
@@ -226,6 +254,8 @@ class Runner:
             if init is not None:
                 init = shard_batch(init, self.mesh)
         out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed), init)
+        if not fetch:
+            return out
         if isinstance(out, tuple):  # (restored, progress frames)
             return tuple(np.asarray(jax.device_get(o)) for o in out)
         return np.asarray(jax.device_get(out))
@@ -260,35 +290,51 @@ class Runner:
 
             lpips_fn = make_lpips()
 
-        psnrs, psnrs_y, lpipss, times, n_imgs = [], [], [], [], 0
+        psnrs, psnrs_y, ssims, lpipss, times, n_imgs = [], [], [], [], [], 0
         if save and cfg.task == "inpaint" and cfg.save_progressive_mask and batches:
             im.imsave_batch(batches[0].mask, batches[0].names, cfg.E_path, "mask_")
-        for bi, batch in enumerate(batches):
-            t0 = time.perf_counter()
-            out = self.restore_batch(batch, lambda_, zeta, seed=cfg.seed + bi)
-            times.append(time.perf_counter() - t0)
+
+        def consume(bi: int, batch: Batch, out, t0: float) -> None:
+            """Host-fetch + metrics + artifact IO for a dispatched batch."""
+            nonlocal n_imgs
             frames = None
             if isinstance(out, tuple):
                 out, frames = out
-            x0 = out
+                frames = np.asarray(jax.device_get(frames))
+            x0 = np.asarray(jax.device_get(out))
+            times.append(time.perf_counter() - t0)
             nb = len(batch.names)
             x0 = x0[:nb]
             gt = batch.img_H[:nb].astype(np.float32) / 255.0
 
             psnr = im.psnr_batch(x0 * 2 - 1, gt * 2 - 1)
             psnrs.append(psnr * nb)
+            E_uint = im.single2uint(x0)
             if cfg.n_channels == 3:
-                # reference metric composition: PSNR over a 3-channel tensor
-                # whose Cb/Cr are zeros (utils_image.py:482-484 fills only
-                # channel 0), i.e. logged PSNR-Y = true Y-PSNR + 10*log10(3)
-                def y3(v):
-                    yc = im.rgb_to_y_batch(v)
-                    return np.concatenate([yc, np.zeros_like(yc),
-                                           np.zeros_like(yc)], axis=-1)
+                if cfg.psnr_y_mode == "true":
+                    # honest per-image uint8 Y-channel PSNR
+                    # (main_ddpir_sisr.py:458-462)
+                    psnr_y = float(np.mean([
+                        im.psnr(im.rgb_to_y(E_uint[j]), im.rgb_to_y(batch.img_H[j]))
+                        for j in range(nb)]))
+                else:
+                    # reference metric composition: PSNR over a 3-channel
+                    # tensor whose Cb/Cr are zeros (utils_image.py:482-484
+                    # fills only channel 0), i.e. logged PSNR-Y =
+                    # true Y-PSNR + 10*log10(3)
+                    def y3(v):
+                        yc = im.rgb_to_y_batch(v)
+                        return np.concatenate([yc, np.zeros_like(yc),
+                                               np.zeros_like(yc)], axis=-1)
 
-                psnr_y = im.psnr_batch(y3(x0 * 2 - 1), y3(gt * 2 - 1))
+                    psnr_y = im.psnr_batch(y3(x0 * 2 - 1), y3(gt * 2 - 1))
                 psnrs_y.append(psnr_y * nb)
             msg = f"batch{bi + 1:->4d}--> PSNR: {psnr:.4f}dB"
+            if cfg.calc_SSIM:
+                sv = float(np.mean([im.ssim(E_uint[j], batch.img_H[j])
+                                    for j in range(nb)]))
+                ssims.append(sv * nb)
+                msg += f"; SSIM: {sv:.4f}"
             if lpips_fn is not None:
                 lp = lpips_fn(x0 * 2 - 1, gt * 2 - 1)
                 lpipss.append(lp * nb)
@@ -315,16 +361,28 @@ class Runner:
                 montage = np.concatenate([L_up, x0, gt], axis=2)
                 im.imsave_batch(montage, batch.names, cfg.E_path, "LEH_")
 
+        t_wall0 = time.perf_counter()
+        overlap_dispatch(
+            batches,
+            lambda bi, b: self.restore_batch(b, lambda_, zeta,
+                                             seed=cfg.seed + bi, fetch=False),
+            consume)
+        wall = time.perf_counter() - t_wall0
+
         results = {
             "psnr": sum(psnrs) / n_imgs,
             "psnr_y": sum(psnrs_y) / n_imgs if psnrs_y else None,
+            "ssim": sum(ssims) / n_imgs if ssims else None,
             "lpips": sum(lpipss) / n_imgs if lpipss else None,
             "n_images": n_imgs,
-            "images_per_sec": n_imgs / sum(times) if times else 0.0,
+            "images_per_sec": n_imgs / wall if wall > 0 else 0.0,
             "lambda_": lambda_, "zeta": zeta,
         }
-        lg.info(f"-----------> Average PSNR(RGB) of ({cfg.testset_name}): "
-                f"{results['psnr']:.4f} dB | {results['images_per_sec']:.3f} img/s")
+        msg = (f"-----------> Average PSNR(RGB) of ({cfg.testset_name}): "
+               f"{results['psnr']:.4f} dB")
+        if results["ssim"] is not None:
+            msg += f" | SSIM: {results['ssim']:.4f}"
+        lg.info(msg + f" | {results['images_per_sec']:.3f} img/s")
         return results
 
     def evaluate_sweep(self, **kw) -> list[dict]:

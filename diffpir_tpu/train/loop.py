@@ -196,6 +196,7 @@ class Trainer:
         from diffpir_tpu.utils import kvlogger
 
         mesh = mesh or self.mesh
+        metric_buf: list = []
         for i in range(steps):
             batch_np, _labels = next(data_iterator)
             batch = jnp.asarray(batch_np)
@@ -204,10 +205,16 @@ class Trainer:
                     batch, NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1)))))
             state, metrics = self.train_step(state, batch,
                                              jax.random.fold_in(key, i))
-            kvlogger.logkv("step", int(state["step"]))
-            kvlogger.logkv_mean("loss", float(metrics["loss"]))
-            kvlogger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
+            # keep metrics on device between log points — a per-step float()
+            # would force a device->host sync every step (the pathology the
+            # scanned sampler eliminates)
+            metric_buf.append(metrics)
             if (i + 1) % log_interval == 0:
+                for m in metric_buf:
+                    kvlogger.logkv_mean("loss", float(m["loss"]))
+                    kvlogger.logkv_mean("grad_norm", float(m["grad_norm"]))
+                metric_buf.clear()
+                kvlogger.logkv("step", int(state["step"]))
                 kvlogger.dumpkvs()
             if ckpt_dir and (i + 1) % save_interval == 0:
                 self.save(state, ckpt_dir)
