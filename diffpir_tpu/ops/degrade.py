@@ -6,11 +6,13 @@ Task-physics parity with the reference:
   * ``gaussian_psf``           == DPS ``Blurkernel`` gaussian init
                                   (``utils_deblur.py:658-666``: impulse through
                                   ``scipy.ndimage.gaussian_filter``)
-  * ``motion_psf``             == trajectory-synthesis family
-                                  (``utils_deblur.py:556-632``); the reference's
-                                  other motion source is the external
-                                  ``motionblur`` pip package (``README.md:40``),
-                                  reproduced statistically, not bit-exactly.
+  * ``motion_psf``             == port of the external ``motionblur.Kernel``
+                                  pip package (``utils_deblur.py:7,691-693``,
+                                  ``README.md:40``) — same algorithm, numpy
+                                  Generator RNG (bit-exactness across RNG
+                                  backends is impossible; moments match).
+  * ``trajectory_psf``         == trajectory-synthesis family
+                                  (``utils_deblur.py:556-632``).
   * ``box_mask``/``random_mask``/``make_mask`` == ``utils/utils_inpaint.py:67-137``
   * ``classical_degradation``  == ``utils/utils_sisr.py:100-114``
   * ``blur_circular``          == ``scipy.ndimage.convolve(..., mode='wrap')``
@@ -233,41 +235,74 @@ def _kernel_from_trajectory(x: np.ndarray, rng: np.random.Generator) -> Optional
 
 def motion_psf(kernel_size: int, intensity: float = 0.5,
                rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Motion-blur kernel with an intensity knob in [0, 1].
+    """Random motion-blur PSF with an intensity knob in [0, 1].
 
-    Statistical stand-in for the external ``motionblur.Kernel`` package the
-    reference imports (``utils_deblur.py:7``, ``README.md:40``): a random
-    piecewise-smooth 2-D path whose curvature/jitter grows with `intensity`,
-    rasterized with linear interpolation and lightly smoothed.
+    Port of the public ``motionblur.Kernel`` algorithm the reference imports
+    (``utils/utils_deblur.py:7,691-693``, ``README.md:40``;
+    LeviBorodenko/motionblur, MIT): intensity 0 gives near-linear motion,
+    1 a highly curved path.  The pipeline:
+
+      1. random step lengths on a 2x supersampled canvas — total path length
+         ``0.75 * diag * (U(0,1) + U(0, intensity^2))``, individual steps
+         ``Beta(1,30) * (1 - intensity + 0.1) * diag`` (short dense steps at
+         high intensity, few long ones at low);
+      2. step angles: first ~ U(-A, A) with ``A = U(0, intensity*pi)``;
+         successors ``Triangular(0, intensity*A, A + 0.1)`` in magnitude,
+         flipping sign vs the previous angle with probability
+         ``Beta(2,20)`` ("jitter");
+      3. path = cumsum of the complex increments, centered on its center of
+         mass, randomly rotated by U(0, pi), shifted to the canvas center;
+      4. rasterize: draw the polyline (width diag/150), Gaussian-blur
+         (radius 0.01*diag), LANCZOS-downsample 2x to kernel_size, normalize.
+
+    The reference passes ``intensity = kernel_std`` (0.5 for motion mode,
+    ``main_ddpir.py:151``, ``main_ddpir_deblur.py:166``).
     """
-    rng = rng or np.random.default_rng()
-    steps = max(kernel_size * 4, 64)
-    # heading angle as a random walk; intensity scales angular diffusion
-    theta0 = rng.uniform(0, 2 * math.pi)
-    dtheta = rng.standard_normal(steps) * (0.05 + 1.2 * intensity)
-    theta = theta0 + np.cumsum(dtheta)
-    speed = 1.0 + intensity * rng.standard_normal(steps) * 0.5
-    pts = np.stack([np.cumsum(speed * np.cos(theta)),
-                    np.cumsum(speed * np.sin(theta))], axis=1)
-    pts -= pts.mean(axis=0)
-    # fit inside the kernel support
-    span = max(np.abs(pts).max(), 1e-8)
-    half = (kernel_size - 1) / 2.0
-    pts = pts * (half * 0.92 / span) + half
+    from PIL import Image, ImageDraw, ImageFilter
 
-    k = np.zeros((kernel_size, kernel_size))
-    # densify with linear interpolation between consecutive samples
-    for a, b in zip(pts[:-1], pts[1:]):
-        n = int(np.ceil(np.hypot(*(b - a)))) * 2 + 1
-        for f in np.linspace(0, 1, n):
-            py, px = a[0] * (1 - f) + b[0] * f, a[1] * (1 - f) + b[1] * f
-            i0, j0 = int(py), int(px)
-            di, dj = py - i0, px - j0
-            for ii, wi in ((i0, 1 - di), (i0 + 1, di)):
-                for jj, wj in ((j0, 1 - dj), (j0 + 1, dj)):
-                    if 0 <= ii < kernel_size and 0 <= jj < kernel_size:
-                        k[ii, jj] += wi * wj
-    k = gaussian_filter(k, sigma=max(0.4, intensity))
+    rng = rng or np.random.default_rng()
+    eps = 0.1
+    intensity = float(np.clip(intensity, 0.0, 1.0))
+    # supersampled canvas (downscaled at the end for anti-aliasing)
+    sx = sy = 2 * kernel_size
+    diagonal = (sx**2 + sy**2) ** 0.5
+
+    # 1. step lengths
+    max_path_len = 0.75 * diagonal * (rng.uniform() + rng.uniform(0, intensity**2))
+    steps: list[float] = []
+    while sum(steps) < max_path_len:
+        step = rng.beta(1, 30) * (1 - intensity + eps) * diagonal
+        if step < max_path_len:
+            steps.append(step)
+    num_steps = len(steps)
+
+    # 2. step angles
+    max_angle = rng.uniform(0, intensity * math.pi)
+    jitter = rng.beta(2, 20)
+    angles = [rng.uniform(-max_angle, max_angle)]
+    while len(angles) < num_steps:
+        angle = rng.triangular(0, intensity * max_angle, max_angle + eps)
+        sign = -np.sign(angles[-1]) if rng.uniform() < jitter else np.sign(angles[-1])
+        angles.append(angle * (sign if sign != 0 else 1.0))
+
+    # 3. complex path, COM-centered, randomly rotated
+    incr = np.asarray(steps) * np.exp(1j * np.asarray(angles[:num_steps]))
+    path = np.cumsum(incr) if num_steps else np.zeros(1, complex)
+    path = path - path.mean()
+    path = path * np.exp(1j * rng.uniform(0, math.pi))
+    path = path + (sx + 1j * sy) / 2
+
+    # 4. rasterize on the supersized canvas, blur, downsample, normalize
+    img = Image.new("RGB", (sx, sy))
+    ImageDraw.Draw(img).line([(p.real, p.imag) for p in path],
+                             fill=(255, 255, 255), width=int(diagonal / 150))
+    img = img.filter(ImageFilter.GaussianBlur(radius=int(diagonal * 0.01)))
+    img = img.resize((kernel_size, kernel_size),
+                     resample=Image.LANCZOS).convert("L")
+    k = np.asarray(img, dtype=np.float32).copy()
+    k = np.maximum(k, 0.0)  # LANCZOS ringing can go slightly negative pre-L
+    if k.sum() <= 0:  # degenerate path fell outside the canvas — delta PSF
+        k[kernel_size // 2, kernel_size // 2] = 1.0
     return k / k.sum()
 
 

@@ -126,3 +126,46 @@ def test_kernel_generators_normalized():
         assert k.sum() == pytest.approx(1.0, rel=1e-6)
         assert (k >= 0).all()
     assert k2.shape == (31, 31)
+
+
+def test_motion_psf_statistics():
+    """Distributional properties of the motionblur.Kernel port.
+
+    No recorded sample set from the original pip package exists in this
+    environment (zero egress), so the test pins the properties the algorithm
+    guarantees by construction: center-of-mass centering, reproducibility,
+    intensity-controlled curvature (low intensity => near-linear path =>
+    strongly anisotropic second moment), and per-seed diversity.
+    """
+    ks = 61
+    rng = np.random.default_rng
+
+    # reproducibility + diversity
+    np.testing.assert_array_equal(motion_psf(ks, 0.5, rng(3)),
+                                  motion_psf(ks, 0.5, rng(3)))
+    assert not np.allclose(motion_psf(ks, 0.5, rng(3)), motion_psf(ks, 0.5, rng(4)))
+
+    def com_and_aniso(k):
+        ii, jj = np.mgrid[0:k.shape[0], 0:k.shape[1]]
+        ci, cj = (k * ii).sum(), (k * jj).sum()
+        di, dj = ii - ci, jj - cj
+        cov = np.array([[(k * di * di).sum(), (k * di * dj).sum()],
+                        [(k * di * dj).sum(), (k * dj * dj).sum()]])
+        ev = np.sort(np.linalg.eigvalsh(cov))
+        return (ci, cj), ev[0] / max(ev[1], 1e-12)
+
+    # the path is shifted so its center of mass sits at the kernel center
+    # (rasterization quantizes it by a few px)
+    ratios_low, ratios_high = [], []
+    for seed in range(12):
+        k_low = motion_psf(ks, 0.05, rng(100 + seed))
+        k_high = motion_psf(ks, 0.95, rng(100 + seed))
+        for k in (k_low, k_high):
+            (ci, cj), _ = com_and_aniso(k)
+            assert abs(ci - (ks - 1) / 2) < 6 and abs(cj - (ks - 1) / 2) < 6
+        ratios_low.append(com_and_aniso(k_low)[1])
+        ratios_high.append(com_and_aniso(k_high)[1])
+    # intensity ~0 => nearly straight line => tiny min/max eigenvalue ratio;
+    # high intensity curls the path => fatter second moment on average
+    assert np.median(ratios_low) < 0.05
+    assert np.median(ratios_high) > 2 * np.median(ratios_low)
