@@ -54,6 +54,11 @@ class TaskConfig:
     generate_mode: str = "DiffPIR"
     skip_type: str = "quad"
     log_process: bool = False
+    test_mode: int = 0                 # denoiser evaluation mode
+                                       # (utils/utils_model.py:16-45):
+                                       # 0 direct, 1 pad-to-modulo, 2 recursive
+                                       # split (large images), 3 x8 dihedral
+                                       # ensemble, 4 split + x8
 
     # io / eval
     save_L: bool = True
@@ -125,6 +130,8 @@ class TaskConfig:
             raise ValueError(f"generate_mode must be one of {_VALID_MODES}")
         if self.psnr_y_mode not in ("reference", "true"):
             raise ValueError("psnr_y_mode must be 'reference' or 'true'")
+        if self.test_mode not in (0, 1, 2, 3, 4):
+            raise ValueError("test_mode must be in 0..4")
         # YAML carries /255 units (reference main_ddpir.py:138 divides unconditionally)
         self.noise_level_img = float(self.noise_level_img) / 255.0
         self.noise_level_model = self.noise_level_img

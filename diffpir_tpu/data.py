@@ -124,7 +124,7 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
                 mask = im.imread_uint(mask_path, cfg.n_channels).astype(bool)
                 mask = mask.astype(np.float32)
             else:
-                m2d = make_mask(cfg.mask_type, image_size=H,
+                m2d = make_mask(cfg.mask_type, image_size=(H, W),
                                 mask_len_range=cfg.mask_len_range,
                                 mask_prob_range=cfg.mask_prob_range,
                                 rng=np.random.default_rng(cfg.seed + idx))

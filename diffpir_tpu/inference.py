@@ -76,8 +76,21 @@ def invert8(x8: jnp.ndarray) -> jnp.ndarray:
 
 
 def x8_apply(fn: Callable, x: jnp.ndarray) -> jnp.ndarray:
-    """Geometric self-ensemble: run fn on all 8 dihedral variants at once."""
-    return invert8(fn(augment8(x)))
+    """Geometric self-ensemble: run fn on all 8 dihedral variants at once.
+
+    Non-square inputs can't stack the transposed variants with the rotated
+    ones, so they take two batched calls (of 4 variants each) instead of one —
+    still batched MXU work, never the reference's 8 sequential calls.
+    """
+    b, h, w, _ = x.shape
+    if h == w:
+        return invert8(fn(augment8(x)))
+    out_r = fn(jnp.concatenate([_dihedral(x, m) for m in range(4)], axis=0))
+    out_t = fn(jnp.concatenate([_dihedral(x, m) for m in range(4, 8)], axis=0))
+    parts = [_dihedral(out_r[m * b:(m + 1) * b], _INV[m]) for m in range(4)]
+    parts += [_dihedral(out_t[(m - 4) * b:(m - 3) * b], _INV[m])
+              for m in range(4, 8)]
+    return jnp.mean(jnp.stack(parts), axis=0)
 
 
 def pad_modulo_apply(fn: Callable, x: jnp.ndarray, modulo: int = 16) -> jnp.ndarray:
@@ -116,7 +129,8 @@ def split_apply(fn: Callable, x: jnp.ndarray, *, refield: int = 32,
     outs = [split_apply(fn, q, refield=refield, min_size=min_size,
                         modulo=modulo) for q in quads]
 
-    out = jnp.zeros((b, h, w, c), outs[0].dtype)
+    # output channel count may differ from input (learned-sigma UNets emit 6)
+    out = jnp.zeros((b, h, w, outs[0].shape[-1]), outs[0].dtype)
     h2, w2 = math.ceil(h / 2), math.ceil(w / 2)
     out = out.at[:, :h2, :w2].set(outs[0][:, :h2, :w2])
     out = out.at[:, :h2, w2:].set(outs[1][:, :h2, w2 - w:])

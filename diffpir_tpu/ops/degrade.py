@@ -310,34 +310,40 @@ def motion_psf(kernel_size: int, intensity: float = 0.5,
 # Masks (host-side numpy; reference utils_inpaint.py:67-137)
 # ---------------------------------------------------------------------------
 
-def box_mask(image_size: int = 256, mask_len_range=(128, 129), margin=(16, 16),
+def box_mask(image_size=256, mask_len_range=(128, 129), margin=(16, 16),
              rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Random square zero-box mask, (H, W) float in {0,1}. 1 = observed."""
+    """Random square zero-box mask, (H, W) float in {0,1}. 1 = observed.
+
+    image_size: int (square) or (H, W) — the RNG draw order is unchanged for
+    square inputs, preserving per-seed reproducibility.
+    """
     rng = rng or np.random.default_rng()
+    H, W = ((image_size, image_size) if np.isscalar(image_size) else image_size)
     lo, hi = int(mask_len_range[0]), int(mask_len_range[1])
     h = int(rng.integers(lo, hi))
     w = int(rng.integers(lo, hi))
     mh, mw = margin
-    t = int(rng.integers(mh, image_size - mh - h))
-    l = int(rng.integers(mw, image_size - mw - w))
-    mask = np.ones((image_size, image_size), np.float32)
+    t = int(rng.integers(mh, H - mh - h))
+    l = int(rng.integers(mw, W - mw - w))
+    mask = np.ones((H, W), np.float32)
     mask[t:t + h, l:l + w] = 0.0
     return mask
 
 
-def random_mask(image_size: int = 256, mask_prob_range=(0.5, 0.5),
+def random_mask(image_size=256, mask_prob_range=(0.5, 0.5),
                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Random-pixel dropout mask, same prob for all channels."""
     rng = rng or np.random.default_rng()
+    H, W = ((image_size, image_size) if np.isscalar(image_size) else image_size)
     prob = rng.uniform(*mask_prob_range)
-    total = image_size * image_size
+    total = H * W
     mask = np.ones(total, np.float32)
     drop = rng.choice(total, int(total * prob), replace=False)
     mask[drop] = 0.0
-    return mask.reshape(image_size, image_size)
+    return mask.reshape(H, W)
 
 
-def make_mask(mask_type: str, image_size: int = 256, mask_len_range=(128, 129),
+def make_mask(mask_type: str, image_size=256, mask_len_range=(128, 129),
               mask_prob_range=(0.5, 0.5), margin=(16, 16),
               rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Dispatch over the reference's mask types (box|random|extreme)."""

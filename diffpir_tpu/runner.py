@@ -130,9 +130,27 @@ class Runner:
             params = replicate(params, self.mesh)
         self.params = params
 
+        self._apply = lambda p, x, t: self.module.apply({"params": p}, x, t)
+        if cfg.test_mode:
+            # wrap the denoiser in the reference's evaluation modes
+            # (utils/utils_model.py:16-45): pad / recursive split / x8
+            # ensemble for large or awkwardly-shaped inputs
+            from diffpir_tpu import inference
+
+            base_apply = self._apply
+            depth_mod = 2 ** (len(self.module.cfg.channel_mult) - 1)
+
+            def _apply_test_mode(p, x, t):
+                t = jnp.broadcast_to(jnp.asarray(t, jnp.int32), (x.shape[0],))
+                return inference.test_mode(
+                    lambda v: base_apply(
+                        p, v, jnp.full((v.shape[0],), t[0], jnp.int32)),
+                    x, mode=cfg.test_mode, refield=32,
+                    min_size=self.module.cfg.image_size, modulo=depth_mod)
+
+            self._apply = _apply_test_mode
         self.den = make_denoiser(
-            lambda p, x, t: self.module.apply({"params": p}, x, t),
-            params, self.schedule, compute_dtype=dtype)
+            self._apply, params, self.schedule, compute_dtype=dtype)
         from diffpir_tpu.diffusion import Diffusion, ModelMeanType, ModelVarType
 
         self.diffusion = Diffusion(self.schedule, ModelMeanType.EPSILON,
@@ -163,8 +181,8 @@ class Runner:
         s1m0 = float(np.sqrt(1 - self.schedule.alphas_cumprod[self.t_start]))
 
         def model_fn_with(params):
-            return lambda xv, tv: self.module.apply(
-                {"params": params}, xv.astype(self.den.compute_dtype), tv)
+            return lambda xv, tv: self._apply(
+                params, xv.astype(self.den.compute_dtype), tv)
 
         def restore(params, y, kernel, mask, key, init=None):
             import dataclasses as _dc

@@ -43,7 +43,8 @@ class RestorationService:
         self.cfg = cfg
         self.runner = Runner(cfg, use_mesh=use_mesh)
         self.batch = service_batch or cfg.batch_size
-        self._pad_mod = 2 ** 5  # deepest downsample of the zoo UNets
+        # deepest downsample factor of the bound model's topology
+        self._pad_mod = 2 ** (len(self.runner.module.cfg.channel_mult) - 1)
 
     # ------------------------------------------------------------------
     def restore(self, images: Sequence[np.ndarray],
