@@ -111,6 +111,101 @@ class CSVOutputFormat:
         pass
 
 
+# --------------------------------------------------------------------------
+# TensorBoard writer (reference ``logger.py TensorBoardOutputFormat``,
+# ~lines 150-188).  The reference goes through tensorflow's EventsWriter;
+# tensorflow is not in this environment, so the Event protos and TFRecord
+# framing are encoded by hand — the format is stable and tiny: scalar
+# summaries only, which is all the reference writer emits (simple_value).
+# --------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), as TFRecord framing requires."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _pb_bytes(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+class TensorBoardOutputFormat:
+    """Scalar-summary event-file writer readable by TensorBoard."""
+
+    def __init__(self, dir: str):
+        import socket
+        import struct
+
+        os.makedirs(dir, exist_ok=True)
+        self.step = 1
+        self._struct = struct
+        path = osp.join(osp.abspath(dir),
+                        f"events.out.tfevents.{int(time.time())}."
+                        f"{socket.gethostname()}")
+        self.file = open(path, "wb")
+        # header event: file_version (Event field 3)
+        self._write_event(_pb_bytes(3, b"brain.Event:2"))
+
+    def _write_event(self, body: bytes) -> None:
+        st = self._struct
+        # Event field 1: wall_time (double)
+        rec = st.pack("<B", 0x09) + st.pack("<d", time.time()) + body
+        framed = st.pack("<Q", len(rec))
+        self.file.write(framed + st.pack("<I", _masked_crc(framed)) + rec
+                        + st.pack("<I", _masked_crc(rec)))
+        self.file.flush()
+
+    def writekvs(self, kvs: dict) -> None:
+        st = self._struct
+        values = b"".join(
+            _pb_bytes(1, _pb_bytes(1, str(k).encode())  # Value.tag
+                      + st.pack("<B", 0x15)             # Value.simple_value
+                      + st.pack("<f", float(v)))
+            for k, v in kvs.items() if hasattr(v, "__float__"))
+        body = (st.pack("<B", 0x10) + _varint(self.step)   # Event.step
+                + _pb_bytes(5, values))                    # Event.summary
+        self._write_event(body)
+        self.step += 1
+
+    def writeseq(self, seq) -> None:
+        pass
+
+    def close(self):
+        if self.file:
+            self.file.close()
+            self.file = None
+
+
 def _make_format(fmt: str, ev_dir: str, suffix: str = ""):
     os.makedirs(ev_dir, exist_ok=True)
     if fmt == "stdout":
@@ -123,6 +218,8 @@ def _make_format(fmt: str, ev_dir: str, suffix: str = ""):
         return JSONOutputFormat(osp.join(ev_dir, f"progress{suffix}.json"))
     if fmt == "csv":
         return CSVOutputFormat(osp.join(ev_dir, f"progress{suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{suffix}"))
     raise ValueError(f"unknown log format {fmt!r}")
 
 

@@ -196,3 +196,79 @@ def test_kvlogger_profile_decorator(tmp_path):
     out = kvlogger.dumpkvs()
     assert out["wait_work"] >= 0
     kvlogger.reset()
+
+
+def test_tensorboard_writer_roundtrip(tmp_path):
+    """TensorBoard event file: valid TFRecord framing (CRC32C checked) and
+    decodable scalar summaries (reference logger.py TensorBoardOutputFormat)."""
+    import struct
+
+    from diffpir_tpu.utils.kvlogger import (
+        TensorBoardOutputFormat, _masked_crc)
+
+    w = TensorBoardOutputFormat(str(tmp_path / "tb"))
+    w.writekvs({"loss": 0.5, "grad_norm": 2.25, "note": "skipped-nonscalar"})
+    w.writekvs({"loss": 0.25})
+    w.close()
+
+    files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert len(files) == 1
+    data = files[0].read_bytes()
+
+    # --- decode TFRecord framing, verifying both CRCs per record ---
+    records, off = [], 0
+    while off < len(data):
+        hdr = data[off:off + 8]
+        (ln,) = struct.unpack("<Q", hdr)
+        (crc_h,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert crc_h == _masked_crc(hdr)
+        rec = data[off + 12:off + 12 + ln]
+        (crc_d,) = struct.unpack("<I", data[off + 12 + ln:off + 16 + ln])
+        assert crc_d == _masked_crc(rec)
+        records.append(rec)
+        off += 16 + ln
+
+    # --- minimal protobuf walk: Event{1:double,2:varint,3:str,5:Summary} ---
+    def read_varint(b, i):
+        n = s = 0
+        while True:
+            n |= (b[i] & 0x7F) << s
+            s += 7
+            i += 1
+            if not b[i - 1] & 0x80:
+                return n, i
+
+    def parse_event(rec):
+        i, out = 0, {}
+        while i < len(rec):
+            key, i = read_varint(rec, i)
+            field, wt = key >> 3, key & 7
+            if wt == 1:
+                out[field] = struct.unpack("<d", rec[i:i + 8])[0]; i += 8
+            elif wt == 0:
+                out[field], i = read_varint(rec, i)
+            elif wt == 2:
+                ln, i = read_varint(rec, i)
+                out[field] = rec[i:i + ln]; i += ln
+            elif wt == 5:
+                out[field] = struct.unpack("<f", rec[i:i + 4])[0]; i += 4
+        return out
+
+    ev0 = parse_event(records[0])
+    assert ev0[3] == b"brain.Event:2"          # file_version header
+
+    def scalars(summary_bytes):
+        i, out = 0, {}
+        while i < len(summary_bytes):
+            key, i = read_varint(summary_bytes, i)
+            ln, i = read_varint(summary_bytes, i)
+            v = parse_event(summary_bytes[i:i + ln])  # Summary.Value fields
+            out[v[1].decode()] = v[2]
+            i += ln
+        return out
+
+    ev1, ev2 = parse_event(records[1]), parse_event(records[2])
+    assert ev1[2] == 1 and ev2[2] == 2          # steps
+    s1 = scalars(ev1[5])
+    assert s1 == {"loss": 0.5, "grad_norm": 2.25}  # non-scalar dropped
+    assert scalars(ev2[5]) == {"loss": 0.25}
