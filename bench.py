@@ -26,7 +26,9 @@ import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 0.10
 NFE = int(os.environ.get("BENCH_NFE", 100))
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
+# batch 16 is the measured single-chip throughput optimum (r2 sweep on v5e:
+# batch 8 -> 2.86, 16 -> 3.00, 32 -> 2.82 img/s)
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
 SIZE = 256
 
 

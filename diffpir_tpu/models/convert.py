@@ -185,7 +185,9 @@ def flax_to_torch_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]
                 out[f"{prefix}.weight"] = unconvert(sub["kernel"], "kernel", False)
                 out[f"{prefix}.bias"] = np.asarray(sub["bias"])
                 continue
-            is_attn = "qkv" in sub
+            # attention blocks have EXACTLY the {norm, qkv, proj} children
+            # (a submodule merely containing a 'qkv' key must not match)
+            is_attn = set(sub) == {"norm", "qkv", "proj"}
             for name, leaves in sub.items():
                 rest = inv_attn.get(name) if is_attn else inv_res.get(name)
                 torch_prefix = f"{prefix}.{'.'.join(rest)}"
