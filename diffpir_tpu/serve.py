@@ -6,13 +6,22 @@ module packages the runner for deployment:
   * ``RestorationService`` — binds (model, task config) once, keeps compiled
     programs warm across requests, accepts arbitrary-size requests and serves
     them through fixed-shape compiled batches (padding the tail) so XLA never
-    recompiles per request.
+    recompiles per request.  Mixed-size requests are grouped by (H, W) so each
+    distinct shape hits its own warm program.
+  * per-request validation: channel counts, finite values, PSF normalization,
+    binary masks — malformed requests fail fast on host instead of poisoning
+    a compiled batch.
+  * thread safety + an asynchronous coalescing front-end: ``submit`` returns a
+    ``Future``; a background worker coalesces queued requests into full
+    service batches (up to ``max_wait_ms``) to keep MXU occupancy high under
+    many small concurrent requests.
   * arbitrary image sizes via pad-to-modulo (the UNet needs H, W divisible by
-    2^(levels-1)); oversized inputs can be tiled with
-    ``diffpir_tpu.inference.split_apply`` by the caller.
+    2^(levels-1), derived from the bound model's channel_mult); oversized
+    inputs can additionally be tiled with ``test_mode: 2`` in the config.
   * ``serve_folder`` — minimal filesystem frontend: restore every image in a
     directory tree into an output directory (the deployment shape the
-    reference's results/ workflow implies).
+    reference's results/ workflow implies), double-buffered like
+    ``Runner.evaluate``.
 
 Throughput scaling across chips comes from the runner's mesh sharding; run one
 service process per host with ``jax.distributed`` for multi-host serving.
@@ -22,29 +31,86 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue
+import threading
 import time
+from concurrent.futures import Future
 from typing import Optional, Sequence
 
 import numpy as np
 
 from diffpir_tpu.config import TaskConfig
 from diffpir_tpu.data import Batch
-from diffpir_tpu.runner import Runner
+from diffpir_tpu.runner import Runner, overlap_dispatch
 from diffpir_tpu.utils import image as im
 
-__all__ = ["RestorationService", "serve_folder"]
+__all__ = ["RestorationService", "serve_folder", "RequestError"]
+
+
+class RequestError(ValueError):
+    """A malformed restoration request (caught before device dispatch)."""
 
 
 class RestorationService:
     """Long-lived restoration endpoint over a fixed task configuration."""
 
     def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True,
-                 service_batch: Optional[int] = None):
+                 service_batch: Optional[int] = None,
+                 max_wait_ms: float = 20.0):
         self.cfg = cfg
         self.runner = Runner(cfg, use_mesh=use_mesh)
         self.batch = service_batch or cfg.batch_size
         # deepest downsample factor of the bound model's topology
         self._pad_mod = 2 ** (len(self.runner.module.cfg.channel_mult) - 1)
+        self._lock = threading.Lock()        # device section is serialized
+        self._max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._shutdown = False
+
+    # ------------------------------------------------------------------
+    # validation
+    # ------------------------------------------------------------------
+    def _validate(self, images, kernels, masks) -> None:
+        C = self.cfg.n_channels
+        for i, img in enumerate(images):
+            a = np.asarray(img)
+            if a.ndim != 3 or a.shape[-1] != C:
+                raise RequestError(
+                    f"image[{i}]: expected (h, w, {C}), got {a.shape}")
+            if not np.isfinite(a).all():
+                raise RequestError(f"image[{i}]: non-finite values")
+        if kernels is not None:
+            if len(kernels) != len(images):
+                raise RequestError("kernels must match images 1:1")
+            for i, k in enumerate(kernels):
+                ka = np.asarray(k)
+                if ka.ndim != 2:
+                    raise RequestError(f"kernel[{i}]: expected 2-D PSF, got "
+                                       f"shape {ka.shape}")
+                if not np.isfinite(ka).all():
+                    raise RequestError(f"kernel[{i}]: non-finite values")
+                s = float(ka.sum())
+                if not 0.99 <= s <= 1.01:
+                    raise RequestError(
+                        f"kernel[{i}]: PSF must be normalized (sum={s:.4f})")
+                h, w = np.asarray(images[i]).shape[:2]
+                if ka.shape[0] > h or ka.shape[1] > w:
+                    raise RequestError(
+                        f"kernel[{i}]: {ka.shape} larger than image ({h},{w})")
+        if masks is not None:
+            if len(masks) != len(images):
+                raise RequestError("masks must match images 1:1")
+            for i, m in enumerate(masks):
+                ma = np.asarray(m)
+                hw = np.asarray(images[i]).shape[:2]
+                if ma.shape[:2] != hw:
+                    raise RequestError(
+                        f"mask[{i}]: shape {ma.shape[:2]} != image {hw}")
+                vals = np.unique(ma)
+                if not np.isin(vals, (0.0, 1.0)).all():
+                    raise RequestError(
+                        f"mask[{i}]: must be binary 0/1 (found {vals[:5]})")
 
     # ------------------------------------------------------------------
     def restore(self, images: Sequence[np.ndarray],
@@ -55,33 +121,116 @@ class RestorationService:
 
         kernels: per-image PSFs for deblur/SR (defaults to the config's
         kernel source); masks: per-image {0,1} masks for inpainting.
-        Requests are chunked into the service batch size; the tail chunk is
-        padded by repetition so every launch hits a warm compiled program.
+        Requests are grouped by image shape, chunked into the service batch
+        size, and the tail chunk is padded by repetition so every launch hits
+        a warm compiled program.  Thread-safe.
         """
+        self._validate(images, kernels, masks)
         n = len(images)
-        outs: list[np.ndarray] = []
-        for i in range(0, n, self.batch):
-            chunk = list(range(i, min(i + self.batch, n)))
-            real = len(chunk)
-            idxs = chunk + [chunk[0]] * (self.batch - real)
-            imgs = np.stack([np.asarray(images[j], np.float32) for j in idxs])
-            kern = (np.stack([np.asarray(kernels[j], np.float32) for j in idxs])
-                    if kernels is not None
-                    else np.ones((self.batch, 1, 1), np.float32))
-            if masks is not None:
-                mk = np.stack([np.asarray(masks[j], np.float32) for j in idxs])
-                if mk.ndim == 3:
-                    mk = np.repeat(mk[..., None], imgs.shape[-1], axis=-1)
-            else:
-                mk = np.ones_like(imgs)
-            batch = Batch(img_H=np.zeros_like(imgs, dtype=np.uint8),
-                          img_L=imgs, kernel=kern, mask=mk,
-                          names=[str(j) for j in idxs])
-            restored = self.runner.restore_batch(batch, seed=seed + i)
-            if isinstance(restored, tuple):
-                restored = restored[0]
-            outs.extend(np.asarray(restored[:real]))
-        return outs
+        outs: list[Optional[np.ndarray]] = [None] * n
+        by_shape: dict[tuple, list[int]] = {}
+        for j in range(n):
+            by_shape.setdefault(np.asarray(images[j]).shape, []).append(j)
+
+        for idx_group in by_shape.values():
+            for i in range(0, len(idx_group), self.batch):
+                chunk = idx_group[i:i + self.batch]
+                real = len(chunk)
+                idxs = chunk + [chunk[0]] * (self.batch - real)
+                imgs = np.stack([np.asarray(images[j], np.float32)
+                                 for j in idxs])
+                if kernels is not None:
+                    kmax = max(np.asarray(kernels[j]).shape[0] for j in idxs)
+                    kmax2 = max(np.asarray(kernels[j]).shape[1] for j in idxs)
+
+                    def pad_k(k):
+                        k = np.asarray(k, np.float32)
+                        p0 = (kmax - k.shape[0]) // 2
+                        p1 = (kmax2 - k.shape[1]) // 2
+                        return np.pad(k, ((p0, kmax - k.shape[0] - p0),
+                                          (p1, kmax2 - k.shape[1] - p1)))
+
+                    kern = np.stack([pad_k(kernels[j]) for j in idxs])
+                else:
+                    kern = np.ones((self.batch, 1, 1), np.float32)
+                if masks is not None:
+                    mk = np.stack([np.asarray(masks[j], np.float32)
+                                   for j in idxs])
+                    if mk.ndim == 3:
+                        mk = np.repeat(mk[..., None], imgs.shape[-1], axis=-1)
+                else:
+                    mk = np.ones_like(imgs)
+                batch = Batch(img_H=np.zeros_like(imgs, dtype=np.uint8),
+                              img_L=imgs, kernel=kern, mask=mk,
+                              names=[str(j) for j in idxs])
+                with self._lock:
+                    restored = self.runner.restore_batch(batch, seed=seed + i)
+                if isinstance(restored, tuple):
+                    restored = restored[0]
+                for j, out in zip(chunk, np.asarray(restored[:real])):
+                    outs[j] = out
+        return outs  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    # asynchronous coalescing front-end
+    # ------------------------------------------------------------------
+    def submit(self, image: np.ndarray,
+               kernel: Optional[np.ndarray] = None,
+               mask: Optional[np.ndarray] = None) -> "Future[np.ndarray]":
+        """Enqueue one request; returns a Future for the restored image.
+
+        A background worker coalesces queued requests into full service
+        batches, waiting at most ``max_wait_ms`` to fill one — concurrent
+        callers share compiled batch launches instead of serializing
+        one-image batches.
+        """
+        self._validate([image], None if kernel is None else [kernel],
+                       None if mask is None else [mask])
+        fut: "Future[np.ndarray]" = Future()
+        self._ensure_worker()
+        self._queue.put((image, kernel, mask, fut))
+        return fut
+
+    def _ensure_worker(self) -> None:
+        if self._worker is None or not self._worker.is_alive():
+            self._shutdown = False
+            self._worker = threading.Thread(target=self._drain, daemon=True)
+            self._worker.start()
+
+    def close(self) -> None:
+        self._shutdown = True
+        if self._worker is not None:
+            self._worker.join(timeout=5.0)
+
+    def _drain(self) -> None:
+        while not self._shutdown:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.perf_counter() + self._max_wait
+            while len(group) < self.batch:
+                remain = deadline - time.perf_counter()
+                if remain <= 0:
+                    break
+                try:
+                    group.append(self._queue.get(timeout=remain))
+                except queue.Empty:
+                    break
+            images = [g[0] for g in group]
+            kernels = ([g[1] for g in group]
+                       if any(g[1] is not None for g in group) else None)
+            masks = ([g[2] for g in group]
+                     if any(g[2] is not None for g in group) else None)
+            try:
+                results = self.restore(images, kernels, masks)
+                for (_, _, _, fut), out in zip(group, results):
+                    fut.set_result(out)
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for _, _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     # ------------------------------------------------------------------
     def warmup(self, hw: tuple[int, int]) -> float:
@@ -95,7 +244,10 @@ class RestorationService:
 def serve_folder(cfg: TaskConfig, in_dir: str, out_dir: str, *,
                  use_mesh: bool = True, seed: int = 0) -> dict:
     """Restore every image under `in_dir` into `out_dir` (degraded inputs in,
-    restored outputs out — masks/kernels come from the task config pipeline)."""
+    restored outputs out — masks/kernels come from the task config pipeline).
+
+    Double-buffered like ``Runner.evaluate``: batch i+1 is dispatched before
+    batch i is host-fetched and written."""
     from diffpir_tpu.data import make_batches, prepare_images
 
     cfg = dataclasses.replace(cfg) if not isinstance(cfg, TaskConfig) else cfg
@@ -108,12 +260,18 @@ def serve_folder(cfg: TaskConfig, in_dir: str, out_dir: str, *,
                            pad_to_batch=runner.mesh is not None)
     os.makedirs(out_dir, exist_ok=True)
     n, t0 = 0, time.perf_counter()
-    for bi, batch in enumerate(batches):
-        out = runner.restore_batch(batch, seed=seed + bi)
+
+    def consume(bi, batch, out, _t0):
+        nonlocal n
         if isinstance(out, tuple):
             out = out[0]
         nb = len(batch.names)
         im.imsave_batch(np.asarray(out[:nb]), batch.names, out_dir, "restored_")
         n += nb
+
+    overlap_dispatch(
+        batches,
+        lambda bi, b: runner.restore_batch(b, seed=seed + bi, fetch=False),
+        consume)
     dt = time.perf_counter() - t0
     return {"n_images": n, "seconds": dt, "images_per_sec": n / dt}

@@ -62,3 +62,74 @@ def test_serve_folder(tiny_env, tmp_path):
     assert stats["n_images"] == 3
     files = os.listdir(out_dir)
     assert sum(f.startswith("restored_") for f in files) == 3
+
+
+def test_request_validation(tiny_env):
+    from diffpir_tpu.serve import RequestError
+
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    rng = np.random.default_rng(2)
+    good = rng.random((IMG, IMG, 3)).astype(np.float32)
+    good_mask = (rng.random((IMG, IMG)) > 0.5).astype(np.float32)
+
+    with pytest.raises(RequestError, match="expected"):
+        svc.restore([good[..., :1]])                       # wrong channels
+    bad = good.copy(); bad[0, 0, 0] = np.nan
+    with pytest.raises(RequestError, match="non-finite"):
+        svc.restore([bad])
+    with pytest.raises(RequestError, match="binary"):
+        svc.restore([good], masks=[good_mask * 0.5])
+    with pytest.raises(RequestError, match="shape"):
+        svc.restore([good], masks=[good_mask[:32]])
+    with pytest.raises(RequestError, match="normalized"):
+        svc.restore([good], kernels=[np.ones((5, 5), np.float32)])
+    with pytest.raises(RequestError, match="larger than image"):
+        svc.restore([good], kernels=[np.full((IMG + 5, 5), 0.0, np.float32)
+                                     + 1.0 / ((IMG + 5) * 5)])
+    with pytest.raises(RequestError, match="1:1"):
+        svc.restore([good, good], masks=[good_mask])
+
+
+def test_mixed_shape_requests_grouped(tiny_env):
+    """Requests of different sizes are served per-shape (np.stack on mixed
+    shapes would crash); outputs come back in request order."""
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((IMG, IMG, 3)).astype(np.float32),
+            rng.random((IMG * 2, IMG, 3)).astype(np.float32),
+            rng.random((IMG, IMG, 3)).astype(np.float32)]
+    masks = [(rng.random(im_.shape[:2]) > 0.3).astype(np.float32)
+             for im_ in imgs]
+    outs = svc.restore([i * m[:, :, None] for i, m in zip(imgs, masks)],
+                       masks=masks)
+    assert [o.shape for o in outs] == [i.shape for i in imgs]
+    for o in outs:
+        assert np.isfinite(o).all()
+
+
+def test_submit_coalesces_concurrent_requests(tiny_env):
+    """The async front-end batches concurrent submits into shared launches."""
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
+                             max_wait_ms=300.0)
+    rng = np.random.default_rng(4)
+    masks = [(rng.random((IMG, IMG)) > 0.3).astype(np.float32)
+             for _ in range(4)]
+    imgs = [rng.random((IMG, IMG, 3)).astype(np.float32) * m[:, :, None]
+            for m in masks]
+    svc.warmup((IMG, IMG))
+
+    calls = []
+    orig = svc.runner.restore_batch
+
+    def counting(batch, *a, **kw):
+        calls.append(len(batch.names))
+        return orig(batch, *a, **kw)
+
+    svc.runner.restore_batch = counting
+    futs = [svc.submit(i, mask=m) for i, m in zip(imgs, masks)]
+    outs = [f.result(timeout=300) for f in futs]
+    svc.close()
+    assert all(o.shape == (IMG, IMG, 3) and np.isfinite(o).all() for o in outs)
+    # 4 requests through batch-2 programs: at most 3 launches means at least
+    # one launch carried 2 coalesced requests
+    assert len(calls) <= 3
