@@ -400,8 +400,12 @@ class UNet(nn.Module):
                     ds //= 2
                 block_idx += 1
 
-        h = h.astype(x.dtype)
+        # Output head runs in the compute dtype (GroupNorm stats are fp32
+        # internally regardless).  An fp32 head on a bf16 network is false
+        # precision at 6x MXU cost + 2x HBM traffic — profiled as the single
+        # hottest op of the flagship forward (~17%).  fp32 mode (parity /
+        # prox-adjacent paths) is unchanged: dtype == float32 end to end.
         h = GroupNorm32(name="out_norm", fuse_silu=True,
                         use_pallas=self.use_pallas_gn)(h)
         return _conv(cfg.out_channels, name="out_conv", zero_init=True,
-                     dtype=jnp.float32)(h)
+                     dtype=self.dtype)(h)

@@ -371,11 +371,29 @@ class Runner:
             if save and cfg.save_L:
                 im.imsave_batch(batch.img_L[:nb], batch.names, cfg.E_path,
                                 f"LR_x{cfg.sf}_")
+            if save and cfg.task == "deblur":
+                # per-image kernel visualization (main_ddpir_deblur.py:177:
+                # k * 255 * 200, clipped by the uint8 save)
+                for j in range(nb):
+                    kv = np.clip(batch.kernel[j] * 255.0 * 200.0, 0, 255)
+                    im.imsave(kv.round().astype(np.uint8),
+                              os.path.join(cfg.E_path,
+                                           f"motion_kernel_{batch.names[j]}"))
             if save and cfg.save_LEH:
-                # L (nearest-upscaled to HR) | E | H montage
-                # (reference main_ddpir_sisr.py:440-451)
+                # L (nearest-upscaled to HR, original L + kernel viz inset in
+                # the corners) | E | H montage (main_ddpir_sisr.py:440-451)
                 L_up = np.repeat(np.repeat(batch.img_L[:nb], cfg.sf, axis=1),
-                                 cfg.sf, axis=2)
+                                 cfg.sf, axis=2).copy()
+                hl, wl = batch.img_L.shape[1:3]
+                for j in range(nb):
+                    k = batch.kernel[j]
+                    if k.size > 1:
+                        kv = np.repeat(np.repeat(k / max(k.max(), 1e-12), 3,
+                                                 axis=0), 3, axis=1)
+                        kh = min(kv.shape[0], L_up.shape[1])
+                        kw = min(kv.shape[1], L_up.shape[2])
+                        L_up[j, :kh, -kw:, :] = kv[:kh, :kw, None]
+                    L_up[j, :hl, :wl] = batch.img_L[j]
                 montage = np.concatenate([L_up, x0, gt], axis=2)
                 im.imsave_batch(montage, batch.names, cfg.E_path, "LEH_")
 

@@ -140,3 +140,14 @@ def test_noisy_deblur_e2e_with_ty_init(tiny_testset):
     cfg = _cfg(tiny_testset, noise_level_img=12.75, iter_num=3)
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
     assert np.isfinite(res["psnr"])
+
+
+def test_kernel_viz_saved_with_artifacts(tiny_testset):
+    """Deblur eval saves the reference's per-image kernel visualization
+    (main_ddpir_deblur.py:177)."""
+    import os
+
+    cfg = _cfg(tiny_testset, save_E=True, iter_num=2)
+    Runner(cfg, use_mesh=False).evaluate()
+    files = os.listdir(cfg.E_path)
+    assert sum(f.startswith("motion_kernel_") for f in files) == 2
