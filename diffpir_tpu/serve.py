@@ -218,19 +218,24 @@ class RestorationService:
                     group.append(self._queue.get(timeout=remain))
                 except queue.Empty:
                     break
-            images = [g[0] for g in group]
-            kernels = ([g[1] for g in group]
-                       if any(g[1] is not None for g in group) else None)
-            masks = ([g[2] for g in group]
-                     if any(g[2] is not None for g in group) else None)
-            try:
-                results = self.restore(images, kernels, masks)
-                for (_, _, _, fut), out in zip(group, results):
-                    fut.set_result(out)
-            except Exception as e:  # pragma: no cover - propagate to callers
-                for _, _, _, fut in group:
-                    if not fut.done():
-                        fut.set_exception(e)
+            # requests with and without kernels/masks can't share one batch —
+            # partition so an unusual request can't poison its neighbors
+            subgroups: dict[tuple, list] = {}
+            for g in group:
+                subgroups.setdefault(
+                    (g[1] is not None, g[2] is not None), []).append(g)
+            for sub in subgroups.values():
+                images = [g[0] for g in sub]
+                kernels = [g[1] for g in sub] if sub[0][1] is not None else None
+                masks = [g[2] for g in sub] if sub[0][2] is not None else None
+                try:
+                    results = self.restore(images, kernels, masks)
+                    for (_, _, _, fut), out in zip(sub, results):
+                        fut.set_result(out)
+                except Exception as e:  # pragma: no cover
+                    for _, _, _, fut in sub:
+                        if not fut.done():
+                            fut.set_exception(e)
 
     # ------------------------------------------------------------------
     def warmup(self, hw: tuple[int, int]) -> float:
