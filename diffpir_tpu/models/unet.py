@@ -97,7 +97,8 @@ class GroupNorm32(nn.Module):
         gs1 = s1.reshape(b, g, c // g).sum(-1)                       # (B, G)
         gs2 = s2.reshape(b, g, c // g).sum(-1)
         mean = gs1 / n_per_group
-        var = gs2 / n_per_group - jnp.square(mean)
+        # moments form can go epsilon-negative for near-constant groups
+        var = jnp.maximum(gs2 / n_per_group - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
         # fold (x - mean) * inv * scale + bias into one fma per element
         mean_c = jnp.repeat(mean, c // g, axis=-1)                   # (B, C)
