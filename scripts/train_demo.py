@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default="assets/demo/tiny_demo.flax.npz")
     ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--dataset-size", type=int, default=0,
+                    help="pregenerate a fixed pool of N images and sample "
+                         "batches from it (the per-step python generator is "
+                         "host-bound on a 1-core box; 0 = generate per step)")
     args = ap.parse_args()
 
     import jax
@@ -86,9 +90,19 @@ def main():
     rng = np.random.default_rng(0)
     import time
 
+    pool = None
+    if args.dataset_size:
+        t0 = time.perf_counter()
+        pool = synth_batch(rng, args.dataset_size, IMG)
+        print(f"pregenerated {args.dataset_size} images "
+              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+
     t0 = time.perf_counter()
     for i in range(args.steps):
-        batch = jnp.asarray(synth_batch(rng, args.batch, IMG))
+        if pool is not None:
+            batch = jnp.asarray(pool[rng.integers(0, len(pool), args.batch)])
+        else:
+            batch = jnp.asarray(synth_batch(rng, args.batch, IMG))
         state, m = trainer.train_step(state, batch, jax.random.PRNGKey(i))
         if (i + 1) % 50 == 0:
             loss = float(m["loss"])  # forces sync

@@ -96,3 +96,22 @@ def test_deblur_quality_gain(setup):
     print(f"deblur: degraded {psnr_degraded:.2f} dB -> restored "
           f"{psnr_restored:.2f} dB")
     assert psnr_restored > psnr_degraded + 8.0
+
+
+def test_demo64_prior_quality():
+    """The TPU-trained 64px prior (bf16 training) restores held-out 64px
+    synthetics through the full runner path; skipped until the asset exists."""
+    demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
+    if not os.path.exists(demo64):
+        pytest.skip("tiny_demo64 not trained yet")
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "demo64_inpaint.yaml"),
+                      dict(cwd=repo, save_E=False, save_L=False))
+    res = Runner(cfg, use_mesh=False).evaluate(save=False)
+    # degraded input (50% pixels) sits near ~8-10 dB; a trained prior must
+    # add a large real gain
+    assert res["psnr"] > 20.0, res
+    assert res["ssim"] > 0.6, res
