@@ -141,3 +141,21 @@ def test_test_mode_config_e2e_nonsquare(tmp_path):
         outs[mode] = res["psnr"]
     # x8 ensembling actually changes the denoiser output
     assert outs[3] != outs[0]
+
+
+def test_x8_apply_identity_nonsquare():
+    """The two-call non-square x8 path must invert every dihedral variant
+    exactly: ensembling the identity function is the identity."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffpir_tpu.inference import x8_apply
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 6, 10, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(x8_apply(lambda v: v, x)),
+                               np.asarray(x), rtol=1e-6)
+    xs = jnp.asarray(np.random.default_rng(1)
+                     .standard_normal((2, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(x8_apply(lambda v: v, xs)),
+                               np.asarray(xs), rtol=1e-6)

@@ -27,3 +27,10 @@ def test_globalize_batch_shards_over_mesh():
     np.testing.assert_array_equal(np.asarray(arr), batch)
     # actually distributed: one shard per device along the data axis
     assert len(arr.sharding.device_set) == len(jax.devices())
+
+
+def test_dryrun_restore_gate():
+    """The driver's inference half of the multi-chip gate stays green."""
+    from diffpir_tpu.runner import dryrun_restore
+
+    dryrun_restore(8)
