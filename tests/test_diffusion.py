@@ -200,3 +200,91 @@ def test_respaced_sampling_tables():
     np.testing.assert_allclose(ours.schedule.alphas_cumprod, ref.alphas_cumprod,
                                rtol=1e-10)
     np.testing.assert_array_equal(tmap, ref.timestep_map)
+
+
+def test_condition_mean_matches_reference(pair):
+    """Classifier guidance mean shift (gaussian_diffusion.py:356-372)."""
+    ref, ours = pair
+    x, t = _inputs()
+    out_np = _fake_model_np(x, t)
+    grad_np = (0.1 * np.cos(x)).astype(np.float32)  # fake grad log p(y|x)
+
+    r_pmv = ref.p_mean_variance(lambda xt, tt: torch.from_numpy(out_np),
+                                torch.from_numpy(x), torch.from_numpy(t),
+                                clip_denoised=True)
+    r_mean = ref.condition_mean(
+        lambda xt, tt, **kw: torch.from_numpy(grad_np), r_pmv,
+        torch.from_numpy(x), torch.from_numpy(t), model_kwargs={})
+
+    o_pmv = ours.p_mean_variance(
+        None, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        clip_denoised=True,
+        model_output=jnp.asarray(out_np.transpose(0, 2, 3, 1)))
+    o_mean = ours.condition_mean(
+        lambda xt, tt: jnp.asarray(grad_np.transpose(0, 2, 3, 1)),
+        o_pmv, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(o_mean).transpose(0, 3, 1, 2),
+                               r_mean.numpy(), atol=2e-5)
+
+
+def test_condition_score_matches_reference(pair):
+    """Score-based conditioning for DDIM (gaussian_diffusion.py:374-393)."""
+    ref, ours = pair
+    x, t = _inputs()
+    out_np = _fake_model_np(x, t)
+    grad_np = (0.1 * np.cos(x)).astype(np.float32)
+
+    r_pmv = ref.p_mean_variance(lambda xt, tt: torch.from_numpy(out_np),
+                                torch.from_numpy(x), torch.from_numpy(t),
+                                clip_denoised=True)
+    r_out = ref.condition_score(
+        lambda xt, tt, **kw: torch.from_numpy(grad_np), r_pmv,
+        torch.from_numpy(x), torch.from_numpy(t), model_kwargs={})
+
+    o_pmv = ours.p_mean_variance(
+        None, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        clip_denoised=True,
+        model_output=jnp.asarray(out_np.transpose(0, 2, 3, 1)))
+    o_out = ours.condition_score(
+        lambda xt, tt: jnp.asarray(grad_np.transpose(0, 2, 3, 1)),
+        o_pmv, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    for k in ("mean", "pred_xstart"):
+        np.testing.assert_allclose(np.asarray(o_out[k]).transpose(0, 3, 1, 2),
+                                   r_out[k].numpy(), atol=2e-5, err_msg=k)
+
+
+def test_classifier_guided_sampling_e2e(pair):
+    """Classifier guidance composes end to end: a (random) EncoderUNet
+    classifier's grad log p(y|x) drives p_sample via cond_fn and measurably
+    shifts the trajectory (reference classifier-guidance wiring,
+    script_util.py classifier factories + condition_mean)."""
+    _, ours = pair
+    from diffpir_tpu.models.unet import UNetConfig
+    from diffpir_tpu.models.variants import EncoderUNet
+
+    ecfg = UNetConfig(image_size=8, model_channels=32, out_channels=5,
+                      num_res_blocks=1, attention_resolutions=(2,),
+                      channel_mult=(1, 2), num_heads=4, num_head_channels=16,
+                      dropout=0.0)
+    clf = EncoderUNet(ecfg, pool="attention")
+    x0 = jnp.zeros((2, 8, 8, 3))
+    cparams = clf.init(jax.random.PRNGKey(1), x0, jnp.zeros((2,), jnp.int32))["params"]
+    y = jnp.array([1, 3])
+
+    def cond_fn(xt, tt, scale=10.0):
+        def logp(v):
+            logits = clf.apply({"params": cparams}, v, tt)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            return lp[jnp.arange(v.shape[0]), y].sum()
+        return scale * jax.grad(logp)(xt)
+
+    out_np = None  # deterministic fake denoiser, same for both runs
+    model_fn = lambda xt, tt: jnp.concatenate(
+        [jnp.tanh(xt), jnp.sin(xt)], axis=-1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    t = jnp.full((2,), 50, jnp.int32)
+    guided = ours.p_sample(model_fn, x, t, key, cond_fn=cond_fn)["sample"]
+    unguided = ours.p_sample(model_fn, x, t, key)["sample"]
+    assert np.isfinite(np.asarray(guided)).all()
+    assert not np.allclose(np.asarray(guided), np.asarray(unguided))
