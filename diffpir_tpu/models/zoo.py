@@ -90,7 +90,11 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
 
     npz_path = os.path.join(model_zoo, f"{model_name}.flax.npz")
     pt_path = os.path.join(model_zoo, f"{model_name}.pt")
-    if os.path.exists(npz_path):
+    # the cache is only valid if it is at least as new as the checkpoint it
+    # was converted from — a freshly downloaded .pt must win over a stale npz
+    if os.path.exists(npz_path) and not (
+            os.path.exists(pt_path)
+            and os.path.getmtime(pt_path) > os.path.getmtime(npz_path)):
         return module, load_params_npz(npz_path)
     if os.path.exists(pt_path):
         from diffpir_tpu.models.convert import load_torch_checkpoint

@@ -272,3 +272,40 @@ def test_tensorboard_writer_roundtrip(tmp_path):
     s1 = scalars(ev1[5])
     assert s1 == {"loss": 0.5, "grad_norm": 2.25}  # non-scalar dropped
     assert scalars(ev2[5]) == {"loss": 0.25}
+
+
+def test_zoo_cache_invalidated_by_newer_checkpoint(tmp_path):
+    """A freshly arrived .pt must win over a stale converted-npz cache."""
+    import os
+    import time as _time
+
+    import jax.numpy as jnp
+    import torch
+
+    from diffpir_tpu.models import zoo
+    from diffpir_tpu.models.convert import flax_to_torch_state_dict
+    from diffpir_tpu.models.unet import UNet
+
+    mz = tmp_path / "model_zoo"
+    mz.mkdir()
+    module = UNet(zoo.TINY_TEST_CONFIG, dtype=jnp.float32)
+    import jax
+
+    p1 = module.init(jax.random.PRNGKey(1),
+                     jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32))["params"]
+    zoo.save_params_npz(p1, str(mz / "tiny_cachetest.flax.npz"))
+    _, loaded = zoo.resolve_model("tiny_cachetest", str(mz))
+    np.testing.assert_array_equal(
+        loaded["time_embed_0"]["kernel"], np.asarray(p1["time_embed_0"]["kernel"]))
+
+    # newer .pt with DIFFERENT weights arrives -> reconversion must kick in
+    _time.sleep(0.05)
+    p2 = module.init(jax.random.PRNGKey(2),
+                     jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32))["params"]
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in flax_to_torch_state_dict(p2).items()}
+    torch.save(sd, str(mz / "tiny_cachetest.pt"))
+    os.utime(str(mz / "tiny_cachetest.pt"))
+    _, reloaded = zoo.resolve_model("tiny_cachetest", str(mz))
+    np.testing.assert_array_equal(
+        reloaded["time_embed_0"]["kernel"], np.asarray(p2["time_embed_0"]["kernel"]))
