@@ -156,11 +156,16 @@ def psnr(img1: np.ndarray, img2: np.ndarray, border: int = 0) -> float:
 
 def psnr_batch(batch1: np.ndarray, batch2: np.ndarray, max_pixel: float = 2.0,
                eps: float = 1e-10) -> float:
-    """Mean per-image PSNR over a batch (any layout; reduces all but axis 0)."""
+    """Mean per-image PSNR over a batch (any layout; reduces all but axis 0).
+
+    Single-pass einsum with float64 accumulation — the naive fp64 temporaries
+    cost ~1.4 s per 16x256px batch on host and made the eval loop host-bound.
+    """
     if batch1.shape != batch2.shape:
         raise ValueError("Input images must have the same dimensions.")
-    axes = tuple(range(1, batch1.ndim))
-    mse = np.mean((np.float64(batch1) - np.float64(batch2)) ** 2, axis=axes)
+    d = np.asarray(batch1, np.float32) - np.asarray(batch2, np.float32)
+    d = d.reshape(d.shape[0], -1)
+    mse = np.einsum("bi,bi->b", d, d, dtype=np.float64) / d.shape[1]
     vals = np.where(mse == 0, np.inf, 20 * np.log10(max_pixel / np.sqrt(mse + eps)))
     vals = np.where(np.isnan(vals), 0.0, vals)
     return float(np.mean(vals))
@@ -174,22 +179,37 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(k, k)
 
 
-def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
-    from scipy.signal import convolve2d
+def _gauss_filter_valid(x: np.ndarray, k1d: np.ndarray) -> np.ndarray:
+    """Separable Gaussian correlation, cropped to the valid region.
 
+    Two 1-D passes via scipy.ndimage (C speed) instead of a direct 11x11
+    convolve2d (766 ms/image at 256px — it made SSIM the eval bottleneck);
+    interior values are identical, and only the interior survives the crop.
+    """
+    from scipy.ndimage import correlate1d
+
+    wing = len(k1d) // 2
+    y = correlate1d(x, k1d, axis=0)
+    y = correlate1d(y, k1d, axis=1)
+    return y[wing:-wing, wing:-wing]
+
+
+def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
     C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
     img1 = img1.astype(np.float64)
     img2 = img2.astype(np.float64)
-    w = _gaussian_window()
     # reference uses cv2.filter2D (correlation, reflect border) then crops to
-    # the valid region [5:-5]; valid-mode convolution with the symmetric
+    # the valid region [5:-5]; valid-mode correlation with the symmetric
     # window is identical there.
-    mu1 = convolve2d(img1, w, mode="valid")
-    mu2 = convolve2d(img2, w, mode="valid")
+    ax = np.arange(11, dtype=np.float64) - 5.0
+    k1d = np.exp(-(ax**2) / (2.0 * 1.5**2))
+    k1d /= k1d.sum()
+    mu1 = _gauss_filter_valid(img1, k1d)
+    mu2 = _gauss_filter_valid(img2, k1d)
     mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
-    s1 = convolve2d(img1**2, w, mode="valid") - mu1_sq
-    s2 = convolve2d(img2**2, w, mode="valid") - mu2_sq
-    s12 = convolve2d(img1 * img2, w, mode="valid") - mu1_mu2
+    s1 = _gauss_filter_valid(img1**2, k1d) - mu1_sq
+    s2 = _gauss_filter_valid(img2**2, k1d) - mu2_sq
+    s12 = _gauss_filter_valid(img1 * img2, k1d) - mu1_mu2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
     return float(ssim_map.mean())
