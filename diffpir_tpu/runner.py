@@ -432,8 +432,9 @@ def dryrun_restore(n_devices: int) -> None:
     The multi-chip *inference* half of the driver gate (the headline
     capability per BASELINE.json): an ``n_devices``-wide data-parallel mesh,
     batch sharded over the 'data' axis, replicated params, whole trajectory as
-    one ``lax.scan``.  Covers both prox families — the mask-average inpaint
-    prox and the FFT Wiener deblur prox (reference ``main_ddpir.py:384-445``).
+    one ``lax.scan``.  Covers all three prox families — mask-average inpaint,
+    sf=1 FFT Wiener deblur, and sf-split Wiener SR
+    (reference ``main_ddpir.py:384-445``).
     """
     from diffpir_tpu.config import load_config
 
@@ -442,29 +443,32 @@ def dryrun_restore(n_devices: int) -> None:
     rng = np.random.default_rng(0)
     H = 64
     img_H = rng.integers(0, 256, (n_devices, H, H, 3)).astype(np.uint8)
+    k1 = np.zeros((7, 7), np.float32)
+    k1[3, 3] = 1.0  # identity PSF — shape-realistic, numerically tame
 
-    for task in ("inpaint", "deblur"):
+    for task in ("inpaint", "deblur", "sr"):
         cfg = load_config(None, overrides=dict(
             task=task, model_name="tiny_test", iter_num=2, iter_num_U=1,
             batch_size=n_devices, noise_level_img=0.0, seed=0,
             dtype="float32", save_L=False, save_E=False,
-            mesh_shape=(n_devices,)))
+            mesh_shape=(n_devices,),
+            **(dict(sf=2, sr_mode="blur") if task == "sr" else {})))
         runner = Runner(cfg, use_mesh=True)
         assert runner.mesh is not None, "mesh construction failed"
+        mask = np.ones(img_H.shape, np.float32)
+        kernel = np.broadcast_to(k1, (n_devices, 7, 7)).copy()
         if task == "inpaint":
             mask = (rng.uniform(size=img_H.shape) > 0.5).astype(np.float32)
             img_L = img_H.astype(np.float32) * mask / 255.0
             kernel = np.ones((n_devices, 1, 1), np.float32)
-        else:
-            mask = np.ones(img_H.shape, np.float32)
+        elif task == "deblur":
             img_L = img_H.astype(np.float32) / 255.0
-            k1 = np.zeros((7, 7), np.float32)
-            k1[3, 3] = 1.0  # identity PSF — shape-realistic, numerically tame
-            kernel = np.broadcast_to(k1, (n_devices, 7, 7)).copy()
+        else:  # sr: low-res observation, restored at H = h * sf
+            img_L = (img_H.astype(np.float32) / 255.0)[:, ::2, ::2]
         batch = Batch(img_H=img_H, img_L=img_L.astype(np.float32),
                       kernel=kernel, mask=mask,
                       names=[f"im{i}" for i in range(n_devices)])
         out = runner.restore_batch(batch)
         assert out.shape == img_H.shape, (out.shape, img_H.shape)
         assert np.isfinite(out).all(), f"non-finite restore output ({task})"
-    print(f"dryrun_restore({n_devices}): OK (inpaint + deblur)")
+    print(f"dryrun_restore({n_devices}): OK (inpaint + deblur + sr)")
