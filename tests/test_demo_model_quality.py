@@ -115,3 +115,19 @@ def test_demo64_prior_quality():
     # add a large real gain
     assert res["psnr"] > 20.0, res
     assert res["ssim"] > 0.6, res
+
+
+def test_demo64_deblur_quality():
+    """Noise-free motion deblur (Levin09 kernel) with the TPU-trained prior."""
+    demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
+    if not os.path.exists(demo64):
+        pytest.skip("tiny_demo64 not trained yet")
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "demo64_deblur.yaml"),
+                      dict(cwd=repo, save_E=False, save_L=False))
+    res = Runner(cfg, use_mesh=False).evaluate(save=False)
+    assert res["psnr"] > 30.0, res
+    assert res["ssim"] > 0.8, res
