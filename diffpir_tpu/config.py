@@ -110,7 +110,10 @@ class TaskConfig:
                                        # is off; turning it on improves PSNR)
     dtype: str = "bfloat16"            # UNet compute dtype; prox always runs fp32
     use_pallas: bool = False           # fused Pallas kernels for attention/groupnorm
-    mesh_shape: Optional[Sequence[int]] = None  # data-parallel device mesh; None = all devices
+    mesh_shape: Optional[Sequence[int]] = None  # device mesh: None/1-D = data-
+                                       # parallel over all/N devices; 2-D
+                                       # [D, M] = dp x Megatron-style tensor
+                                       # parallel (parallel/tp.py)
 
     # ---- derived (filled by finalize) ----
     sigma: float = dataclasses.field(default=0.001, init=False)

@@ -126,8 +126,18 @@ class Runner:
 
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:
-            self.mesh = make_mesh(cfg.mesh_shape)
-            params = replicate(params, self.mesh)
+            shape = None if cfg.mesh_shape is None else tuple(cfg.mesh_shape)
+            if shape is not None and len(shape) == 2:
+                # dp x tp: batch over "data", Megatron-style parameter
+                # sharding over "model" (parallel/tp.py) — the 553M imagenet
+                # flagship stops having to fit one chip
+                from diffpir_tpu.parallel.tp import shard_unet_params
+
+                self.mesh = make_mesh(shape, axis_names=("data", "model"))
+                params = shard_unet_params(params, self.mesh, self.module.cfg)
+            else:
+                self.mesh = make_mesh(shape)
+                params = replicate(params, self.mesh)
         self.params = params
 
         self._apply = lambda p, x, t: self.module.apply({"params": p}, x, t)
@@ -434,7 +444,8 @@ def dryrun_restore(n_devices: int) -> None:
     batch sharded over the 'data' axis, replicated params, whole trajectory as
     one ``lax.scan``.  Covers all three prox families — mask-average inpaint,
     sf=1 FFT Wiener deblur, and sf-split Wiener SR
-    (reference ``main_ddpir.py:384-445``).
+    (reference ``main_ddpir.py:384-445``) — plus the dp x tp 2-D mesh with
+    Megatron-style parameter sharding (checked against the dp result).
     """
     from diffpir_tpu.config import load_config
 
@@ -471,4 +482,16 @@ def dryrun_restore(n_devices: int) -> None:
         out = runner.restore_batch(batch)
         assert out.shape == img_H.shape, (out.shape, img_H.shape)
         assert np.isfinite(out).all(), f"non-finite restore output ({task})"
-    print(f"dryrun_restore({n_devices}): OK (inpaint + deblur + sr)")
+
+        if task == "inpaint" and n_devices % 4 == 0:
+            # dp x tp: same batch on a 2-D (data, model) mesh with
+            # Megatron-style parameter sharding (parallel/tp.py) must
+            # reproduce the data-parallel result
+            cfg_tp = load_config(None, overrides=dict(
+                task=task, model_name="tiny_test", iter_num=2, iter_num_U=1,
+                batch_size=n_devices, noise_level_img=0.0, seed=0,
+                dtype="float32", save_L=False, save_E=False,
+                mesh_shape=(n_devices // 4, 4)))
+            out_tp = Runner(cfg_tp, use_mesh=True).restore_batch(batch)
+            np.testing.assert_allclose(out_tp, out, rtol=0, atol=5e-5)
+    print(f"dryrun_restore({n_devices}): OK (inpaint + deblur + sr + dp x tp)")
