@@ -6,13 +6,11 @@ must reproduce single-device numerics — GSPMD partitioning only reorders
 reductions, so fp32 outputs agree to float tolerance.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from diffpir_tpu.models.zoo import TINY_TEST_CONFIG
 from diffpir_tpu.models.unet import UNet
@@ -76,6 +74,26 @@ def test_tp_fallback_replicates_on_indivisible():
     assert attn, "no attention blocks found"
     for s in attn:
         assert s["qkv"]["kernel"] == P(), s
+
+
+def test_tp_flagship_topologies_shard():
+    """Both published checkpoints shard >96% of params at 2/4/8-way TP.
+
+    Uses eval_shape — no 553M materialization.  Head counts
+    (num_head_channels=64, reference ``script_util.py:148-158``) and
+    channel multiples divide every mesh size a v5e/v5p slice offers.
+    """
+    from diffpir_tpu.models.unet import MODEL_ZOO_CONFIGS
+
+    for name, cfg in MODEL_ZOO_CONFIGS.items():
+        model = UNet(cfg, dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda r: model.init(r, jnp.zeros((1, 256, 256, 3)),
+                                 jnp.zeros((1,), jnp.int32)),
+            jax.random.PRNGKey(0))["params"]
+        for n in (2, 4, 8):
+            rep = tp_param_report(shapes, cfg, n_model=n)
+            assert rep["fraction"] > 0.9, (name, n, rep)
 
 
 def test_tp_runner_restore_matches_single_device(tmp_path):
