@@ -87,18 +87,33 @@ class GroupNorm32(nn.Module):
         # flagship forward time in pure `copy` ops on TPU v5e.  Reducing the
         # bf16 tensor directly (convert fused INTO the reduction) and applying
         # one folded multiply-add keeps everything in the conv layout with no
-        # extra materialization.  Math identical in fp32 up to summation order.
+        # extra materialization.
         g = self.num_groups
         b = x.shape[0]
         spatial = tuple(range(1, x.ndim - 1))
         n_per_group = (np.prod(x.shape[1:-1]) * (c // g)).astype(np.float32)
         s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)            # (B, C)
-        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial)
         gs1 = s1.reshape(b, g, c // g).sum(-1)                       # (B, G)
-        gs2 = s2.reshape(b, g, c // g).sum(-1)
         mean = gs1 / n_per_group
-        # moments form can go epsilon-negative for near-constant groups
-        var = jnp.maximum(gs2 / n_per_group - jnp.square(mean), 0.0)
+        if x.dtype == jnp.float32:
+            # fp32 parity path: exact centered second moment.  The one-pass
+            # moments form E[x^2] - mean^2 cancels catastrophically when
+            # |mean| >> std (fp32 quantization of mean^2 can exceed the true
+            # variance), and fp32 mode exists precisely for checkpoint/parity
+            # validation — pay the second pass for exactness.
+            mean_c_full = jnp.repeat(mean, c // g, axis=-1).reshape(
+                (b,) + (1,) * (x.ndim - 2) + (c,))
+            d2 = jnp.sum(jnp.square(x - mean_c_full), axis=spatial)
+            var = d2.reshape(b, g, c // g).sum(-1) / n_per_group
+        else:
+            # bf16 fast path: one-pass moments form keeps the activation in
+            # the conv layout with a single read.  Cancellation error here is
+            # bounded by fp32 eps * mean^2, orders below the bf16 input
+            # quantization for any realistic activation statistics.
+            s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial)
+            gs2 = s2.reshape(b, g, c // g).sum(-1)
+            # moments form can go epsilon-negative for near-constant groups
+            var = jnp.maximum(gs2 / n_per_group - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
         # fold (x - mean) * inv * scale + bias into one fma per element
         mean_c = jnp.repeat(mean, c // g, axis=-1)                   # (B, C)

@@ -10,17 +10,22 @@ axis and let GSPMD partition every matmul/conv and insert the collectives
 dp x tp inference from one config key (``mesh_shape: [D, M]``).
 
 The sharding scheme is the conv analogue of Megatron-LM's column/row split
-(Shoeybi et al. 2019), chosen so each ResBlock / attention block needs exactly
-ONE reduction (the row-parallel ``psum``) and everything between stays
-shard-local:
+(Shoeybi et al. 2019), chosen so everything between the block boundary
+reductions stays shard-local:
 
 ResBlock (reference ``unet.py:143-256``):
   * ``conv1``  column-parallel: kernel (kh, kw, Cin, Cout) sharded on Cout.
-  * ``emb_proj`` column-parallel (its output is per-Cout FiLM scale/shift).
+  * ``emb_proj`` ROW-parallel (kernel sharded on the time-embedding input
+    dim): its replicated (B, 2C) output splits into FiLM scale/shift halves
+    that GSPMD slices locally against the C-sharded activation.  Column
+    sharding the fused 2C output would misalign with the halves split
+    ([scale|shift] blocks vs contiguous 2C/n shards) and force a reshard;
+    the row form costs only a (B, 2C)-sized psum — bytes, not activations.
   * ``norm2`` scale/bias sharded on C.  GroupNorm(32) statistics stay
     shard-local because groups are contiguous channel blocks: with
     ``32 % n_model == 0`` every group lives entirely on one shard.
-  * ``conv2``  row-parallel: kernel sharded on Cin; GSPMD inserts the psum.
+  * ``conv2``  row-parallel: kernel sharded on Cin; GSPMD inserts the psum —
+    the block's one activation-sized reduction.
   * ``norm1`` / ``skip`` replicated (they act on the block's replicated input).
 
 AttentionBlock (reference ``unet.py:259-305``): the legacy QKV layout is
@@ -63,10 +68,12 @@ def _resblock_specs(sub: Dict[str, Any], n_model: int, axis: str) -> Dict[str, A
     specs: Dict[str, Any] = {
         "norm1": _replicate_tree(sub["norm1"]),
         "conv1": {"kernel": P(None, None, None, axis), "bias": P(axis)},
-        "emb_proj": {"kernel": P(None, axis), "bias": P(axis)},
+        "emb_proj": {"kernel": P(axis, None), "bias": _REPLICATED},
         "norm2": {"scale": P(axis), "bias": P(axis)},
         "conv2": {"kernel": P(None, None, axis, None), "bias": _REPLICATED},
     }
+    if sub["emb_proj"]["kernel"].shape[0] % n_model:
+        specs["emb_proj"] = _replicate_tree(sub["emb_proj"])
     if "skip" in sub:
         specs["skip"] = _replicate_tree(sub["skip"])
     return specs
@@ -85,14 +92,23 @@ def _attention_specs(sub: Dict[str, Any], cfg: UNetConfig, n_model: int,
     }
 
 
+# exact submodule-name sets, mirroring models/convert.py's strict detection:
+# a module merely *containing* a qkv/conv1 key must not match, or the spec
+# tree's structure would diverge from the param tree's
+_ATTN_KEYS = frozenset({"norm", "qkv", "proj"})
+_RES_KEYS = frozenset({"norm1", "conv1", "emb_proj", "norm2", "conv2"})
+_RES_KEYS_SKIP = _RES_KEYS | {"skip"}
+
+
 def unet_tp_specs(params: Dict[str, Any], cfg: UNetConfig, n_model: int,
                   axis: str = "model") -> Dict[str, Any]:
     """PartitionSpec tree matching ``params`` (output of ``UNet.init``)."""
     specs: Dict[str, Any] = {}
     for name, sub in params.items():
-        if isinstance(sub, dict) and "qkv" in sub:
+        keys = frozenset(sub) if isinstance(sub, dict) else None
+        if keys == _ATTN_KEYS:
             specs[name] = _attention_specs(sub, cfg, n_model, axis)
-        elif isinstance(sub, dict) and "conv1" in sub:
+        elif keys in (_RES_KEYS, _RES_KEYS_SKIP):
             specs[name] = _resblock_specs(sub, n_model, axis)
         else:
             # input_blocks_0_0 / time_embed_* / out_norm / out_conv /

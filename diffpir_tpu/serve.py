@@ -56,16 +56,26 @@ class RestorationService:
 
     def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True,
                  service_batch: Optional[int] = None,
-                 max_wait_ms: float = 20.0):
+                 max_wait_ms: float = 20.0,
+                 kernel_size: Optional[int] = None):
         self.cfg = cfg
         self.runner = Runner(cfg, use_mesh=use_mesh)
         self.batch = service_batch or cfg.batch_size
         # deepest downsample factor of the bound model's topology
         self._pad_mod = 2 ** (len(self.runner.module.cfg.channel_mult) - 1)
+        # fixed PSF pad target so the compiled-program cache key (which
+        # includes kernel.shape) doesn't depend on which requests coalesced;
+        # None = round the chunk max up to a multiple of 8 (bounded number of
+        # distinct programs).  Zero-padding a PSF with its center kept at
+        # size//2 leaves the OTF bit-identical (ops/fft_prox.psf2otf embeds
+        # into the image-size FFT), so this is shape hygiene, not numerics.
+        self._kernel_size = kernel_size
         self._lock = threading.Lock()        # device section is serialized
         self._max_wait = max_wait_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
+        self._wlock = threading.Lock()       # worker lifecycle
+        self._seed_tick = 0                  # unique seed block per drain call
         self._shutdown = False
 
     # ------------------------------------------------------------------
@@ -132,44 +142,80 @@ class RestorationService:
         for j in range(n):
             by_shape.setdefault(np.asarray(images[j]).shape, []).append(j)
 
-        for idx_group in by_shape.values():
+        chunk_no = 0  # advances across shape groups: distinct noise per launch
+        for shape, idx_group in by_shape.items():
+            h, w = shape[:2]
+            # pad to the UNet's deepest downsample factor (skip-connection
+            # concat needs H, W divisible by 2^(levels-1)); outputs are
+            # cropped back below.  reflect keeps content statistics; tiny
+            # inputs (pad >= dim) fall back to edge replication.
+            ph, pw = (-h) % self._pad_mod, (-w) % self._pad_mod
+            pad_mode = "reflect" if (ph < h and pw < w) else "edge"
             for i in range(0, len(idx_group), self.batch):
                 chunk = idx_group[i:i + self.batch]
                 real = len(chunk)
                 idxs = chunk + [chunk[0]] * (self.batch - real)
                 imgs = np.stack([np.asarray(images[j], np.float32)
                                  for j in idxs])
+                if ph or pw:
+                    imgs = np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                  mode=pad_mode)
                 if kernels is not None:
-                    kmax = max(np.asarray(kernels[j]).shape[0] for j in idxs)
-                    kmax2 = max(np.asarray(kernels[j]).shape[1] for j in idxs)
-
-                    def pad_k(k):
-                        k = np.asarray(k, np.float32)
-                        p0 = (kmax - k.shape[0]) // 2
-                        p1 = (kmax2 - k.shape[1]) // 2
-                        return np.pad(k, ((p0, kmax - k.shape[0] - p0),
-                                          (p1, kmax2 - k.shape[1] - p1)))
-
-                    kern = np.stack([pad_k(kernels[j]) for j in idxs])
+                    kern = np.stack([self._pad_kernel(kernels[j], imgs.shape[1:3])
+                                     for j in idxs])
                 else:
                     kern = np.ones((self.batch, 1, 1), np.float32)
                 if masks is not None:
                     mk = np.stack([np.asarray(masks[j], np.float32)
                                    for j in idxs])
                     if mk.ndim == 3:
-                        mk = np.repeat(mk[..., None], imgs.shape[-1], axis=-1)
+                        mk = mk[..., None]
+                    if ph or pw:
+                        # pad masks the same way as y so (y, mask) stay
+                        # consistent in the padded margin
+                        mk = np.pad(mk, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                    mode=pad_mode)
+                    if mk.shape[-1] == 1:
+                        mk = np.repeat(mk, imgs.shape[-1], axis=-1)
                 else:
                     mk = np.ones_like(imgs)
                 batch = Batch(img_H=np.zeros_like(imgs, dtype=np.uint8),
                               img_L=imgs, kernel=kern, mask=mk,
                               names=[str(j) for j in idxs])
                 with self._lock:
-                    restored = self.runner.restore_batch(batch, seed=seed + i)
+                    restored = self.runner.restore_batch(
+                        batch, seed=seed + chunk_no)
+                chunk_no += 1
                 if isinstance(restored, tuple):
                     restored = restored[0]
-                for j, out in zip(chunk, np.asarray(restored[:real])):
-                    outs[j] = out
+                out = np.asarray(restored[:real])
+                if ph or pw:
+                    # output scale (1 for inpaint/deblur, sf for SR)
+                    s = out.shape[1] // imgs.shape[1]
+                    out = out[:, :h * s, :w * s]
+                for j, o in zip(chunk, out):
+                    outs[j] = o
         return outs  # type: ignore[return-value]
+
+    def _pad_kernel(self, k, hw: tuple[int, int]) -> np.ndarray:
+        """Zero-pad a PSF to the service kernel size, center kept at size//2.
+
+        ``ops/fft_prox.psf2otf`` rolls by -(size//2), so the kernel's true
+        center must land exactly there — floor-centered padding would shift
+        the OTF by one pixel whenever the size delta is odd.  With the center
+        preserved, zero-padding leaves the OTF bit-identical, so the pad
+        target is purely a compile-cache key choice.
+        """
+        k = np.asarray(k, np.float32)
+        tgt = self._kernel_size
+        out = []
+        for ax in range(2):
+            size = k.shape[ax]
+            t = tgt if tgt is not None else -(-size // 8) * 8  # next mult of 8
+            t = min(max(t, size), hw[ax])   # never exceed the image
+            p0 = t // 2 - size // 2
+            out.append((p0, t - size - p0))
+        return np.pad(k, tuple(out))
 
     # ------------------------------------------------------------------
     # asynchronous coalescing front-end
@@ -187,20 +233,37 @@ class RestorationService:
         self._validate([image], None if kernel is None else [kernel],
                        None if mask is None else [mask])
         fut: "Future[np.ndarray]" = Future()
-        self._ensure_worker()
         self._queue.put((image, kernel, mask, fut))
+        # enqueue BEFORE ensuring the worker: if a racing close() stops the
+        # worker, its queue sweep resolves this future instead of stranding it
+        self._ensure_worker()
         return fut
 
     def _ensure_worker(self) -> None:
-        if self._worker is None or not self._worker.is_alive():
-            self._shutdown = False
-            self._worker = threading.Thread(target=self._drain, daemon=True)
-            self._worker.start()
+        with self._wlock:
+            if self._worker is None or not self._worker.is_alive():
+                self._shutdown = False
+                self._worker = threading.Thread(target=self._drain, daemon=True)
+                self._worker.start()
 
     def close(self) -> None:
-        self._shutdown = True
-        if self._worker is not None:
-            self._worker.join(timeout=5.0)
+        """Stop the coalescing worker; fail (don't strand) queued futures.
+
+        Idempotent; a later ``submit`` transparently restarts the worker.
+        """
+        with self._wlock:
+            self._shutdown = True
+            worker, self._worker = self._worker, None
+        if worker is not None:
+            worker.join(timeout=5.0)
+        while True:
+            try:
+                *_, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(
+                    RequestError("service closed before request was served"))
 
     def _drain(self) -> None:
         while not self._shutdown:
@@ -228,8 +291,13 @@ class RestorationService:
                 images = [g[0] for g in sub]
                 kernels = [g[1] for g in sub] if sub[0][1] is not None else None
                 masks = [g[2] for g in sub] if sub[0][2] is not None else None
+                # unique seed block per launch — coalesced batches must not
+                # reuse the same diffusion noise stream across requests
+                with self._wlock:
+                    self._seed_tick += 1
+                    seed = self._seed_tick << 12
                 try:
-                    results = self.restore(images, kernels, masks)
+                    results = self.restore(images, kernels, masks, seed=seed)
                     for (_, _, _, fut), out in zip(sub, results):
                         fut.set_result(out)
                 except Exception as e:  # pragma: no cover

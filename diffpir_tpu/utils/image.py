@@ -171,12 +171,11 @@ def psnr_batch(batch1: np.ndarray, batch2: np.ndarray, max_pixel: float = 2.0,
     return float(np.mean(vals))
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
-    # cv2.getGaussianKernel equivalent
+def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    # cv2.getGaussianKernel equivalent (1-D; SSIM applies it separably)
     ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     k = np.exp(-(ax**2) / (2.0 * sigma**2))
-    k /= k.sum()
-    return np.outer(k, k)
+    return k / k.sum()
 
 
 def _gauss_filter_valid(x: np.ndarray, k1d: np.ndarray) -> np.ndarray:
@@ -201,9 +200,7 @@ def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
     # reference uses cv2.filter2D (correlation, reflect border) then crops to
     # the valid region [5:-5]; valid-mode correlation with the symmetric
     # window is identical there.
-    ax = np.arange(11, dtype=np.float64) - 5.0
-    k1d = np.exp(-(ax**2) / (2.0 * 1.5**2))
-    k1d /= k1d.sum()
+    k1d = _gaussian_kernel1d(11, 1.5)
     mu1 = _gauss_filter_valid(img1, k1d)
     mu2 = _gauss_filter_valid(img2, k1d)
     mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2

@@ -67,3 +67,19 @@ def test_unet_pallas_path_matches_xla():
     out1 = m1.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_fp32_groupnorm_high_mean_low_variance():
+    """fp32 path uses the exact centered variance: groups with |mean| >> std
+    must normalize correctly (the one-pass moments form E[x^2]-mean^2 loses
+    the variance entirely to fp32 cancellation in this regime)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((2, 8, 8, 64)).astype(np.float32)
+    x = base * 0.03 + 100.0
+    out = _ref(jnp.asarray(x), jnp.ones(64), jnp.zeros(64), do_silu=False)
+
+    x64 = x.astype(np.float64).reshape(2, 8, 8, 32, 2)
+    mu = x64.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((x64 - mu) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    ref = ((x64 - mu) / np.sqrt(var + 1e-5)).reshape(2, 8, 8, 64)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)

@@ -107,6 +107,109 @@ def test_mixed_shape_requests_grouped(tiny_env):
         assert np.isfinite(o).all()
 
 
+def test_non_modulo_sizes_pad_and_crop(tiny_env):
+    """H/W not divisible by the UNet's downsample factor are padded to the
+    modulo before dispatch and cropped back (the skip-connection concat would
+    otherwise crash at trace time)."""
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    assert svc._pad_mod == 8  # tiny config: 4 levels
+    rng = np.random.default_rng(5)
+    shapes = [(50, 52), (61, 45)]
+    masks = [(rng.random(s) > 0.3).astype(np.float32) for s in shapes]
+    imgs = [rng.random(s + (3,)).astype(np.float32) * m[:, :, None]
+            for s, m in zip(shapes, masks)]
+    outs = svc.restore(imgs, masks=masks)
+    assert [o.shape for o in outs] == [i.shape for i in imgs]
+    for o, img, m in zip(outs, imgs, masks):
+        assert np.isfinite(o).all()
+        np.testing.assert_allclose(o[m > 0], img[m > 0], atol=1e-5)
+
+
+def test_kernel_padding_preserves_otf(tiny_env):
+    """_pad_kernel keeps the PSF center at size//2, so the OTF (and hence the
+    FFT prox) is bit-identical under padding — including the odd-size-delta
+    case that floor-centered padding gets wrong by one pixel."""
+    from diffpir_tpu.ops.boundary import psf2otf
+
+    svc = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False,
+                             service_batch=2)
+    rng = np.random.default_rng(6)
+    for size in (5, 7, 8, 11):
+        k = rng.random((size, size)).astype(np.float32)
+        k /= k.sum()
+        kp = svc._pad_kernel(k, (IMG, IMG))
+        assert kp.shape[0] % 8 == 0 or kp.shape[0] == size
+        np.testing.assert_allclose(psf2otf(kp, (IMG, IMG)),
+                                   psf2otf(k, (IMG, IMG)), atol=1e-6)
+    # fixed service-wide kernel size pins the compile-cache key
+    svc2 = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False,
+                              service_batch=2, kernel_size=16)
+    shapes = {svc2._pad_kernel(rng.random((s, s)).astype(np.float32),
+                               (IMG, IMG)).shape for s in (5, 7, 11, 13)}
+    assert shapes == {(16, 16)}
+
+
+def test_close_fails_queued_futures_and_restarts(tiny_env):
+    """close() must resolve (not strand) queued futures; a later submit
+    transparently restarts the worker."""
+    from diffpir_tpu.serve import RequestError
+
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
+                             max_wait_ms=1.0)
+    rng = np.random.default_rng(7)
+    m = (rng.random((IMG, IMG)) > 0.3).astype(np.float32)
+    img = rng.random((IMG, IMG, 3)).astype(np.float32) * m[:, :, None]
+
+    # stall the device section so requests pile up in the queue
+    import threading
+    release = threading.Event()
+    orig = svc.runner.restore_batch
+
+    def slow(batch, *a, **kw):
+        release.wait(timeout=60)
+        return orig(batch, *a, **kw)
+
+    svc.runner.restore_batch = slow
+    futs = [svc.submit(img, mask=m) for _ in range(6)]
+    release.set()
+    svc.close()
+    svc.runner.restore_batch = orig
+    resolved = 0
+    for f in futs:
+        try:
+            out = f.result(timeout=120)
+            assert np.isfinite(out).all()
+            resolved += 1
+        except RequestError as e:
+            assert "closed" in str(e)
+    assert resolved >= 1  # the in-flight group completes; none hang
+
+    fut = svc.submit(img, mask=m)  # restart after close
+    assert np.isfinite(fut.result(timeout=300)).all()
+    svc.close()
+
+
+def test_drain_launches_use_distinct_seeds(tiny_env):
+    """Coalesced launches must not reuse one diffusion noise stream."""
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
+                             max_wait_ms=1.0)
+    seeds = []
+    orig = svc.runner.restore_batch
+
+    def recording(batch, *a, seed=0, **kw):
+        seeds.append(seed)
+        return orig(batch, *a, seed=seed, **kw)
+
+    svc.runner.restore_batch = recording
+    rng = np.random.default_rng(8)
+    m = (rng.random((IMG, IMG)) > 0.3).astype(np.float32)
+    img = rng.random((IMG, IMG, 3)).astype(np.float32) * m[:, :, None]
+    for _ in range(3):
+        svc.submit(img, mask=m).result(timeout=300)
+    svc.close()
+    assert len(seeds) == len(set(seeds)) == 3, seeds
+
+
 def test_submit_coalesces_concurrent_requests(tiny_env):
     """The async front-end batches concurrent submits into shared launches."""
     svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
