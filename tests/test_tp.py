@@ -76,6 +76,28 @@ def test_tp_fallback_replicates_on_indivisible():
         assert s["qkv"]["kernel"] == P(), s
 
 
+def test_tp_bf16_compute_smoke():
+    """Production combo: fp32 sharded params, bf16 compute — compiles and
+    matches the unsharded bf16 forward."""
+    model = UNet(TINY_TEST_CONFIG, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0,
+                        jnp.zeros((1,), jnp.int32))["params"]
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    t = jnp.full((4,), 42, jnp.int32)
+    ref = model.apply({"params": params}, x, t)
+
+    mesh = make_mesh((2, 4), axis_names=("data", "model"))
+    sharded = shard_unet_params(params, mesh, model.cfg)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    out = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))(
+        sharded, xs, t)
+    # bf16 compute: reduction reorder under sharding costs ~bf16 ulp
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=0, atol=0.05)
+
+
 def test_tp_flagship_topologies_shard():
     """Both published checkpoints shard >96% of params at 2/4/8-way TP.
 
