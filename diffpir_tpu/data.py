@@ -15,6 +15,7 @@ Kernel assets are the reference's .mat collections converted to .npz
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional
 
@@ -42,8 +43,6 @@ class Batch:
     init: Optional[np.ndarray] = None  # (B, H, W, C) [0,1] x-init override
                                        # (SR classical path: shifted upscale)
 
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)
@@ -95,16 +94,12 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
                 img_L = np.asarray(
                     resize2d(jnp.asarray(im.uint2single(img_H))[None], 1 / cfg.sf))[0]
             elif cfg.sr_mode == "classical":
-                # blur(wrap) + strided subsample, bicubic-upscaled init with
-                # half-pixel shift correction (main_ddpir_sisr.py:212-248)
-                from diffpir_tpu.ops.degrade import (
-                    classical_degradation, shift_pixel)
+                # blur(wrap) + strided subsample (main_ddpir_sisr.py:212-248);
+                # the bicubic-upscaled init is built AFTER the AWGN below —
+                # the reference upscales the noisy observation
+                from diffpir_tpu.ops.degrade import classical_degradation
 
                 img_L = classical_degradation(im.uint2single(img_H), k, cfg.sf)
-                up = np.asarray(resize2d(
-                    jnp.asarray(img_L.astype(np.float32))[None], float(cfg.sf),
-                    kernel="cubic_torch", antialiasing=False))[0]
-                init = shift_pixel(up, cfg.sf).astype(np.float32)
             else:  # cubic
                 img_L = np.asarray(
                     resize2d(jnp.asarray(img_H.astype(np.float32) / 255.0)[None],
@@ -136,6 +131,17 @@ def prepare_images(cfg: TaskConfig, paths: Optional[list[str]] = None) -> list[d
         img_L = img_L + np.random.normal(0, cfg.noise_level_img * 2, img_L.shape)
         img_L = img_L / 2 + 0.5
 
+        if cfg.task == "sr" and cfg.sr_mode == "classical":
+            # bicubic upscale of the NOISY observation with half-pixel shift
+            # correction (main_ddpir_sisr.py:216-248: AWGN at 218 precedes the
+            # cv2.INTER_CUBIC upscale at 244 and shift_pixel at 248)
+            from diffpir_tpu.ops.degrade import shift_pixel
+
+            up = np.asarray(resize2d(
+                jnp.asarray(img_L.astype(np.float32))[None], float(cfg.sf),
+                kernel="cubic_torch", antialiasing=False))[0]
+            init = shift_pixel(up, cfg.sf).astype(np.float32)
+
         items.append(dict(img_H=img_H, img_L=img_L.astype(np.float32),
                           kernel=np.asarray(k, np.float32), mask=mask,
                           init=init, name=os.path.basename(path)))
@@ -146,8 +152,8 @@ def make_batches(items: list[dict], batch_size: int,
                  pad_to_batch: bool = False) -> list[Batch]:
     """Group per-image items into fixed-shape batches.
 
-    Kernels inside one batch are zero-padded to a common (odd) size; padding a
-    centered PSF with zeros leaves its OTF unchanged.  With ``pad_to_batch``
+    Kernels inside one batch are zero-padded to a common size with the center
+    kept at size//2; such padding leaves the OTF unchanged.  With ``pad_to_batch``
     the last batch is padded by repeating its first item (needed when the
     batch is sharded across devices) — callers slice metrics back to
     ``len(names)``.
@@ -162,7 +168,10 @@ def make_batches(items: list[dict], batch_size: int,
         kmax2 = max(it["kernel"].shape[1] for it in chunk)
 
         def pad_k(k):
-            p0, p1 = (kmax - k.shape[0]) // 2, (kmax2 - k.shape[1]) // 2
+            # center stays at size//2 — the convention psf_to_otf rolls by
+            # (floor-centered padding would shift the OTF 1px for odd deltas)
+            p0 = kmax // 2 - k.shape[0] // 2
+            p1 = kmax2 // 2 - k.shape[1] // 2
             return np.pad(k, ((p0, kmax - k.shape[0] - p0),
                               (p1, kmax2 - k.shape[1] - p1)))
 

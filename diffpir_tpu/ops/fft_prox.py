@@ -30,10 +30,15 @@ __all__ = ["psf_to_otf", "ProxOperator", "precompute", "prox_solve",
 def psf_to_otf(psf: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
     """PSF -> OTF: zero-pad to `shape`, roll center to origin, 2-D FFT.
 
-    psf: (..., h, w, 1) or (..., h, w) spatial kernel (sums to 1).
+    psf: (h, w), (B, h, w), or (B, h, w, 1) spatial kernel (sums to 1).
     Returns complex64 (..., H, W) with H, W = shape.
+
+    The trailing singleton is only treated as a channel axis on 4-D input —
+    a 3-D (B, h, 1) batch of 1-pixel-wide kernels is a legitimate PSF batch,
+    not a channeled 2-D kernel (shape-based squeezing on ndim<4 would
+    misparse it and build a garbage OTF).
     """
-    if psf.shape[-1] == 1:
+    if psf.ndim == 4 and psf.shape[-1] == 1:
         psf = psf[..., 0]
     h, w = psf.shape[-2:]
     H, W = shape

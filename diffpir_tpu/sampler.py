@@ -30,7 +30,6 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -273,6 +272,7 @@ def _plan_to_device(plan: TrajectoryPlan) -> dict:
         "rho": jnp.asarray(plan.rho),
         "eta_sigma": jnp.asarray(plan.eta_sigma),
         "prox": jnp.asarray(plan.prox),
+        "renoise": jnp.asarray(plan.renoise),
     }
 
 
@@ -331,24 +331,32 @@ def diffpir_sample(
         if use_prox:
             x0 = jnp.where(s["prox"], prox_fn(x0, s["rho"]), x0)
 
-        # DDIM-like renoise to t_{i-1} (always taken: the scan excludes the
-        # final no-renoise step)
+        # DDIM-like renoise to t_{i-1}.  The reference gate is
+        # `not (seq[i] == seq[-1] and u == iter_num_U-1)` (main_ddpir.py:448):
+        # a quad sequence can END in duplicate values (iter_num >= ~502 makes
+        # seq[-2] == seq[-1]), and such duplicate-of-last rows must leave x
+        # untouched at the final inner repeat — the plan's per-row `renoise`
+        # flag carries exactly `seq[j] != seq[-1]`.
         eps_hat = (x - s["sqrt_acp_t"] * x0) / s["sqrt_1m_acp_t"]
         k1, k2, k3, key = jax.random.split(key, 4)
         n1 = jax.random.normal(k1, x.shape, jnp.float32)
         n2 = jax.random.normal(k2, x.shape, jnp.float32)
         dir_coef = jnp.sqrt(jnp.maximum(
             s["sqrt_1m_acp_prev"] ** 2 - s["eta_sigma"] ** 2, 0.0))
-        x = (s["sqrt_acp_prev"] * x0
-             + sqrt_1m_zeta * (dir_coef * eps_hat + s["eta_sigma"] * n1)
-             + sqrt_zeta * s["sqrt_1m_acp_prev"] * n2)
-
-        if not last_u:
-            # set back x_{t-1} -> x_t for the next inner repeat
+        renoised = (s["sqrt_acp_prev"] * x0
+                    + sqrt_1m_zeta * (dir_coef * eps_hat + s["eta_sigma"] * n1)
+                    + sqrt_zeta * s["sqrt_1m_acp_prev"] * n2)
+        if last_u:
+            x = jnp.where(s["renoise"], renoised, x)
+        else:
+            x = renoised
+            # set back x_{t-1} -> x_t for the next inner repeat — skipped on
+            # duplicate-of-last rows (main_ddpir.py:462: `seq[i] != seq[-1]`)
             sae = s["sqrt_acp_t"] / s["sqrt_acp_prev"]
             var = s["sqrt_1m_acp_t"] ** 2 - sae ** 2 * s["sqrt_1m_acp_prev"] ** 2
             n3 = jax.random.normal(k3, x.shape, jnp.float32)
-            x = sae * x + jnp.sqrt(jnp.maximum(var, 0.0)) * n3
+            x = jnp.where(s["renoise"],
+                          sae * x + jnp.sqrt(jnp.maximum(var, 0.0)) * n3, x)
         return x
 
     n_slots = 0 if progress_slots is None else int(progress_slots.max()) + 1
@@ -371,7 +379,11 @@ def diffpir_sample(
     frames0 = (None if n_slots == 0
                else jnp.zeros((n_slots,) + x_init.shape, jnp.float32))
     # steps 0..n-2: the reference's final (n-1) step performs a denoise whose
-    # output is discarded, so it is omitted here (identical math, one fewer NFE)
+    # output is discarded, so it is omitted here (identical math, one fewer
+    # NFE).  For iter_num_U > 1 the reference's final row is UNDEFINED — its
+    # renoise block indexes seq[i+1] past the end (main_ddpir.py:448-453
+    # raises IndexError; every shipped reference config uses iter_num_U=1) —
+    # so omitting it is also the crash-free repair of that path.
     (x, frames), _ = jax.lax.scan(step, (x_init, frames0), jnp.arange(n - 1))
 
     if recover_known and mask is not None:

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -145,6 +144,15 @@ class Trainer:
             t, weights = samplers.uniform_sample(k_t, B, self.T)
 
         mb = cfg.microbatch if cfg.microbatch > 0 else B
+        if B > mb and B % mb:
+            # the scan below accumulates over EQUAL chunks; a ragged tail
+            # would crash in reshape with an opaque trace-time error.  (The
+            # torch reference slices ragged microbatches,
+            # guided_diffusion/train_util.py:166-176 — under jit we require
+            # divisibility instead of compiling a second tail program.)
+            raise ValueError(
+                f"batch size {B} must be a multiple of microbatch {mb} "
+                f"(or <= it); pad the batch or adjust cfg.microbatch")
         n_micro = max(B // mb, 1)
         grad_fn = jax.grad(self._loss_fn, has_aux=True)
 

@@ -202,3 +202,25 @@ def test_blur_circular_matches_scipy_wrap():
     ref = ndimage.convolve(x[0], k[:, :, None], mode="wrap")
     ours = np.asarray(blur_circular(jnp.asarray(x), jnp.asarray(k)[None]))[0]
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_psf_to_otf_batched_narrow_kernels():
+    """(B, h, 1) is a batch of 1-pixel-wide PSFs, NOT a channeled 2-D kernel:
+    the trailing-singleton squeeze applies to 4-D input only."""
+    import jax.numpy as jnp
+
+    from diffpir_tpu.ops.fft_prox import psf_to_otf
+
+    # identity PSF batch (B, 1, 1): OTF must be all-ones at every frequency
+    k = jnp.ones((3, 1, 1), jnp.float32)
+    otf = psf_to_otf(k, (8, 8))
+    assert otf.shape == (3, 8, 8)
+    np.testing.assert_allclose(np.asarray(otf), np.ones((3, 8, 8)), atol=1e-6)
+
+    # vertical 3x1 box blur batch: matches the per-kernel 2-D path
+    k2 = jnp.full((2, 3, 1), 1.0 / 3.0, jnp.float32)
+    otf2 = psf_to_otf(k2, (8, 8))
+    single = psf_to_otf(jnp.full((3, 1), 1.0 / 3.0), (8, 8))
+    assert otf2.shape == (2, 8, 8)
+    np.testing.assert_allclose(np.asarray(otf2[0]), np.asarray(single),
+                               atol=1e-6)

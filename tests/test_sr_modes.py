@@ -70,3 +70,46 @@ def test_leh_and_progress_artifacts(tiny_testset):
     # the final frame must be the restored output, not an unwritten zero slot
     arr = np.asarray(strip)
     assert arr[:, -IMG:, :].mean() > 1.0
+
+
+def test_classical_init_uses_noisy_observation(tiny_testset):
+    """The classical-SR x-init upscales the NOISY img_L — the reference adds
+    AWGN (main_ddpir_sisr.py:218) before the cv2 upscale + shift (243-248).
+    If the init were built pre-noise it would be identical across noise
+    draws."""
+    cfg = _config(tiny_testset, sr_mode="classical", classical_kernel_index=1,
+                  noise_level_img=12.75)
+    np.random.seed(0)
+    a = prepare_images(cfg)[0]
+    np.random.seed(1)
+    b = prepare_images(cfg)[0]
+    assert not np.allclose(a["img_L"], b["img_L"])  # different AWGN draws
+    assert not np.allclose(a["init"], b["init"])    # init carries the noise
+    # and the init is the shifted bicubic upscale OF that noisy observation
+    import jax.numpy as jnp
+
+    from diffpir_tpu.ops.degrade import shift_pixel
+    from diffpir_tpu.ops.resize import resize2d
+
+    up = np.asarray(resize2d(jnp.asarray(a["img_L"])[None], float(cfg.sf),
+                             kernel="cubic_torch", antialiasing=False))[0]
+    np.testing.assert_allclose(a["init"], shift_pixel(up, cfg.sf), atol=1e-6)
+
+
+def test_batch_kernel_padding_preserves_center():
+    """Mixed kernel sizes in one batch: padding keeps each center at size//2
+    (psf_to_otf rolls by -(size//2)), so the padded OTF equals the original."""
+    from diffpir_tpu.ops.boundary import psf2otf
+
+    rng = np.random.default_rng(4)
+    ks = [rng.random((7, 7)), rng.random((8, 8)), rng.random((5, 9))]
+    ks = [(k / k.sum()).astype(np.float32) for k in ks]
+    items = [dict(img_H=np.zeros((16, 16, 3), np.uint8),
+                  img_L=np.zeros((16, 16, 3), np.float32),
+                  kernel=k, mask=np.ones((16, 16, 3), np.float32),
+                  init=None, name=f"i{j}") for j, k in enumerate(ks)]
+    batch = make_batches(items, batch_size=3)[0]
+    assert batch.kernel.shape[1:] == (8, 9)
+    for kp, k in zip(batch.kernel, ks):
+        np.testing.assert_allclose(psf2otf(kp, (16, 16)), psf2otf(k, (16, 16)),
+                                   atol=1e-6)

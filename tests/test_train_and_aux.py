@@ -309,3 +309,20 @@ def test_zoo_cache_invalidated_by_newer_checkpoint(tmp_path):
     _, reloaded = zoo.resolve_model("tiny_cachetest", str(mz))
     np.testing.assert_array_equal(
         reloaded["time_embed_0"]["kernel"], np.asarray(p2["time_embed_0"]["kernel"]))
+
+
+def test_microbatch_divisibility_guard():
+    """Non-divisible batch/microbatch raises a clear error (not an opaque
+    trace-time reshape failure); B <= microbatch runs as one chunk."""
+    t = _trainer(microbatch=2)
+    s = t.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    rng = np.random.default_rng(2)
+    bad = jnp.asarray(rng.standard_normal((5, 16, 16, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="multiple of microbatch"):
+        t.train_step(s, bad, jax.random.PRNGKey(0))
+
+    t_big = _trainer(microbatch=8)
+    s2 = t_big.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    small = jnp.asarray(rng.standard_normal((3, 16, 16, 3)).astype(np.float32))
+    s2, m = t_big.train_step(s2, small, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
