@@ -135,11 +135,24 @@ class TaskConfig:
             raise ValueError("psnr_y_mode must be 'reference' or 'true'")
         if self.test_mode not in (0, 1, 2, 3, 4):
             raise ValueError("test_mode must be in 0..4")
+        if self.model_output_type not in ("pred_xstart", "pred_x_prev"):
+            # the reference drivers support exactly these two
+            # (main_ddpir.py:137); a typo must not silently select the
+            # pred_xstart pipeline with xprev-weighted rho
+            raise ValueError("model_output_type must be 'pred_xstart' or "
+                             f"'pred_x_prev', got {self.model_output_type!r}")
         # YAML carries /255 units (reference main_ddpir.py:138 divides unconditionally)
         self.noise_level_img = float(self.noise_level_img) / 255.0
-        self.noise_level_model = self.noise_level_img
+        # the reference clobbers this with noise_level_img unconditionally
+        # (main_ddpir.py:140; its YAMLs carry a sentinel string) — we keep
+        # that default but honor an explicit numeric override (/255 units)
+        self.noise_level_model = (
+            self.noise_level_img if self.noise_level_model is None
+            else float(self.noise_level_model) / 255.0)
         self.sigma = max(0.001, self.noise_level_img)
         if self.task == "deblur":
+            # bug-parity: the reference overrides any configured kernel_std
+            # for deblur (main_ddpir.py:151)
             self.kernel_std = 3.0 if self.blur_mode == "Gaussian" else 0.5
         if self.task == "inpaint" and self.generate_mode not in ("DiffPIR", "repaint", "vanilla"):
             raise ValueError("inpaint supports DiffPIR/repaint/vanilla generate modes")
@@ -182,7 +195,10 @@ def load_config(path: str | None = None, overrides: dict | None = None) -> TaskC
     if path is not None:
         with open(path) as f:
             data = yaml.safe_load(f) or {}
-    data.pop("noise_level_model", None)  # YAML carries the literal string 'noise_level_img'
+    # reference YAMLs carry the literal string 'noise_level_img' here; drop
+    # only that sentinel — an explicit numeric value is a real override
+    if data.get("noise_level_model") == "noise_level_img":
+        data.pop("noise_level_model")
     if overrides:
         data.update(overrides)
     field_names = {f.name for f in dataclasses.fields(TaskConfig) if f.init}

@@ -38,10 +38,13 @@ def make_lpips(net: str = "vgg") -> Optional[Callable]:
     try:
         import lpips  # type: ignore
         import torch
+
+        # constructing LPIPS downloads/loads the backbone weights — in a
+        # no-egress environment this raises even when the package imports
+        loss_fn = lpips.LPIPS(net=net)
     except Exception:
-        log.info("lpips package unavailable — LPIPS metric disabled")
+        log.info("lpips unavailable (package or weights) — LPIPS disabled")
         return None
-    loss_fn = lpips.LPIPS(net=net)
 
     def compute(a: np.ndarray, b: np.ndarray) -> float:
         with torch.no_grad():

@@ -86,21 +86,44 @@ def convert_state_dict(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         elif head == "label_emb":
             _set(params, ("label_emb", "embedding"), np.asarray(value, np.float32))
         elif head == "out":
-            # out.{0|2}.{...} -> out_norm / out_conv / out_pool (classifier's
-            # AttentionPool2d head, reference unet.py:832-839)
-            if parts[1] == "0":
-                flax_name = "scale" if leaf == "weight" else "bias"
-                _set(params, ("out_norm", flax_name), _convert_tensor(value, flax_name))
-            elif parts[2] == "positional_embedding":
+            # output-head families (torch index -> flax module):
+            #   diffusion UNet   (unet.py:632-636): 0 GroupNorm -> out_norm,
+            #     2 Conv -> out_conv
+            #   classifier attention pool (unet.py:832-839): 0 -> out_norm,
+            #     2.{positional_embedding,qkv_proj,c_proj} -> out_pool
+            #   classifier adaptive (unet.py:822-827): 0 -> out_norm,
+            #     3 zero 1x1 Conv -> out_conv as Dense
+            #   classifier spatial (unet.py:841-845): 0/2 Linear -> out_0/out_2
+            #   classifier spatial_v2 (unet.py:847-853): 0 Linear -> out_0,
+            #     1 GroupNorm -> out_norm, 3 Linear -> out_3
+            # spatial heads are recognized by out.0.weight being a 2-D Linear
+            spatial_head = np.ndim(state_dict.get("out.0.weight")) == 2
+            flax_name = "kernel" if leaf == "weight" else "bias"
+            norm_name = "scale" if leaf == "weight" else "bias"
+            if len(parts) > 2 and parts[2] == "positional_embedding":
                 # torch stores (C, T+1); flax param is (T+1, C)
                 _set(params, ("out_pool", "positional_embedding"),
                      np.asarray(value, np.float32).T)
-            elif parts[2] in ("qkv_proj", "c_proj"):
-                flax_name = "kernel" if leaf == "weight" else "bias"
+            elif len(parts) > 2 and parts[2] in ("qkv_proj", "c_proj"):
                 _set(params, ("out_pool", parts[2], flax_name),
                      _convert_tensor(value, flax_name))
+            elif spatial_head:
+                if parts[1] == "1":      # spatial_v2's GroupNorm
+                    _set(params, ("out_norm", norm_name),
+                         _convert_tensor(value, norm_name))
+                else:
+                    _set(params, (f"out_{parts[1]}", flax_name),
+                         _convert_tensor(value, flax_name))
+            elif parts[1] == "0":
+                _set(params, ("out_norm", norm_name),
+                     _convert_tensor(value, norm_name))
+            elif parts[1] == "3":
+                # adaptive pool: zero-init 1x1 conv applied after global mean
+                # pooling — the flax head is a Dense, squeeze the 1x1 spatial
+                arr = np.asarray(value, np.float32)
+                _set(params, ("out_conv", flax_name),
+                     arr[:, :, 0, 0].T if arr.ndim == 4 else arr)
             else:
-                flax_name = "kernel" if leaf == "weight" else "bias"
                 _set(params, ("out_conv", flax_name), _convert_tensor(value, flax_name))
         elif head in ("input_blocks", "middle_block", "output_blocks"):
             if head == "middle_block":
@@ -146,7 +169,12 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def flax_to_torch_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
-    """Inverse mapping (for round-trip tests and exporting trained weights)."""
+    """Inverse mapping (for round-trip tests and exporting trained weights).
+
+    Covers the diffusion UNet topologies (both resblock_updown and plain
+    conv-resample blocks).  Classifier pool heads other than the diffusion
+    out-head layout are forward-only (convert_state_dict supports them all).
+    """
     inv_res = {v[0]: k for k, v in _RESBLOCK_MAP.items()}
     inv_attn = {v[0]: k for k, v in _ATTN_MAP.items()}
     out: Dict[str, np.ndarray] = {}
@@ -182,8 +210,19 @@ def flax_to_torch_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]
             else:
                 prefix = f"{'_'.join(pieces[:-2])}.{pieces[-2]}.{pieces[-1]}"
             if "kernel" in sub:   # bare conv block
-                out[f"{prefix}.weight"] = unconvert(sub["kernel"], "kernel", False)
-                out[f"{prefix}.bias"] = np.asarray(sub["bias"])
+                # restore the torch module nesting: the input stem is a bare
+                # conv, but standalone resample convs live inside Downsample
+                # (`.op`, unet.py:131) / Upsample (`.conv`, unet.py:98)
+                if module == "input_blocks_0_0":
+                    tp = prefix
+                elif module.startswith("input_blocks"):
+                    tp = f"{prefix}.op"
+                elif module.startswith("output_blocks"):
+                    tp = f"{prefix}.conv"
+                else:
+                    tp = prefix
+                out[f"{tp}.weight"] = unconvert(sub["kernel"], "kernel", False)
+                out[f"{tp}.bias"] = np.asarray(sub["bias"])
                 continue
             # attention blocks have EXACTLY the {norm, qkv, proj} children
             # (a submodule merely containing a 'qkv' key must not match)

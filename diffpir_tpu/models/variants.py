@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from diffpir_tpu.models.unet import (
-    AttentionBlock, GroupNorm32, ResBlock, UNet, UNetConfig, _conv, _dense,
-    _upsample2x, timestep_embedding,
+    AttentionBlock, GroupNorm32, ResBlock, UNet, UNetConfig, _avgpool2x,
+    _conv, _dense, _upsample2x, timestep_embedding,
 )
 
 __all__ = ["SuperResUNet", "EncoderUNet", "AttentionPool2d"]
@@ -135,10 +135,18 @@ class EncoderUNet(nn.Module):
                     results.append(pool_feat(h))
                 block_idx += 1
             if level != len(cfg.channel_mult) - 1:
-                h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                             dropout=cfg.dropout, dtype=self.dtype, down=True,
-                             name=f"input_blocks_{block_idx}_0")(
-                                 h, emb, deterministic=deterministic)
+                # honor the downsample family like UNet (unet.py:352-360) so
+                # converted checkpoints of every topology line up
+                if cfg.resblock_updown:
+                    h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                                 dropout=cfg.dropout, dtype=self.dtype, down=True,
+                                 name=f"input_blocks_{block_idx}_0")(
+                                     h, emb, deterministic=deterministic)
+                elif cfg.conv_resample:
+                    h = _conv(ch, 3, 2, name=f"input_blocks_{block_idx}_0",
+                              dtype=self.dtype)(h)
+                else:
+                    h = _avgpool2x(h)
                 if self.pool.startswith("spatial"):
                     # the reference pools after EVERY input block, including
                     # each downsample block (unet.py:883-886)

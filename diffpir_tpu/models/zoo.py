@@ -116,7 +116,8 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
     log.warning(
         "no checkpoint for %r under %s — using RANDOM weights (test fixtures "
         "only; restorations will be meaningless)", model_name, model_zoo)
-    sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    sample = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels),
+                       jnp.float32)
     params = module.init(jax.random.PRNGKey(init_seed), sample,
                          jnp.zeros((1,), jnp.int32))["params"]
     return module, params

@@ -132,16 +132,31 @@ def solve_min_laplacian(boundary_image: np.ndarray) -> np.ndarray:
                           + bi[np.ix_(j + 1, k)])
     f2 = (-f_bp)[1:-1, 1:-1]
 
-    tt = fftpack.dst(f2, type=1) / 2
-    f2sin = fftpack.dst(tt.T, type=1).T / 2 if tt.shape[0] != 1 else \
-        (fftpack.dst(tt.T, type=1, axis=0) / 2).T
+    # DST solve — the branch structure mirrors the reference's MATLAB
+    # translation exactly (utils_deblur.py:403-432): degenerate single-row /
+    # single-column interiors (H==3 or W==3) switch the transform axis and
+    # normalization, and diverge measurably if folded into the general case
+    if f2.shape[1] == 1:
+        tt = fftpack.dst(f2, type=1, axis=0) / 2
+    else:
+        tt = fftpack.dst(f2, type=1) / 2
+    if tt.shape[0] == 1:
+        f2sin = (fftpack.dst(tt.T, type=1, axis=0) / 2).T
+    else:
+        f2sin = (fftpack.dst(tt.T, type=1) / 2).T
 
     x, y = np.meshgrid(np.arange(1, W - 1), np.arange(1, H - 1))
     denom = (2 * np.cos(np.pi * x / (W - 1)) - 2) + (2 * np.cos(np.pi * y / (H - 1)) - 2)
     f3 = f2sin / denom
 
-    tt = fftpack.idst(f3 * 2, type=1, axis=0) / (2 * (f3.shape[0] + 1))
-    img_tt = (fftpack.idst(tt.T * 2, type=1, axis=0) / (2 * (tt.shape[1] + 1))).T
+    if f3.shape[0] == 1:
+        tt = fftpack.idst(f3 * 2, type=1, axis=1) / (2 * (f3.shape[1] + 1))
+    else:
+        tt = fftpack.idst(f3 * 2, type=1, axis=0) / (2 * (f3.shape[0] + 1))
+    if tt.shape[1] == 1:
+        img_tt = (fftpack.idst(tt.T * 2, type=1) / (2 * (tt.shape[0] + 1))).T
+    else:
+        img_tt = (fftpack.idst(tt.T * 2, type=1, axis=0) / (2 * (tt.shape[1] + 1))).T
 
     out = bi
     out[1:-1, 1:-1] = img_tt

@@ -70,16 +70,20 @@ log = logging.getLogger("diffpir_tpu")
 def setup_logger(name: str, log_path: Optional[str] = None) -> logging.Logger:
     """File+stream logger (reference ``utils/utils_logger.py:26-45``)."""
     lg = logging.getLogger(name)
-    if lg.handlers:  # note: not hasHandlers() — that also sees root handlers
+    fmt = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s", "%y-%m-%d %H:%M:%S")
+    if log_path:
+        # add the file handler even if the logger already exists (e.g. a
+        # prior evaluate(save=False) created it stream-only) — but never twice
+        have = {getattr(h, "baseFilename", None) for h in lg.handlers}
+        if os.path.abspath(log_path) not in have:
+            os.makedirs(os.path.dirname(log_path), exist_ok=True)
+            fh = logging.FileHandler(log_path, "a")
+            fh.setFormatter(fmt)
+            lg.addHandler(fh)
+    if any(type(h) is logging.StreamHandler for h in lg.handlers):
         return lg
     lg.setLevel(logging.INFO)
     lg.propagate = False
-    fmt = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s", "%y-%m-%d %H:%M:%S")
-    if log_path:
-        os.makedirs(os.path.dirname(log_path), exist_ok=True)
-        fh = logging.FileHandler(log_path, "a")
-        fh.setFormatter(fmt)
-        lg.addHandler(fh)
     sh = logging.StreamHandler()
     sh.setFormatter(fmt)
     lg.addHandler(sh)
@@ -213,12 +217,18 @@ class Runner:
                            key=k_init, ty=self.ty_scale)
             hr_hw = (y.shape[1] * cfg.sf, y.shape[2] * cfg.sf)
 
-            if cfg.model_output_type == "pred_x_prev" and task == "inpaint":
+            if cfg.model_output_type == "pred_x_prev":
                 from diffpir_tpu.sampler import xprev_sample
 
+                # inpaint: per-step masked-average prox on the sampled x;
+                # deblur/sr: the reference applies NO data term in this mode
+                # (its analytic branch is inpaint-only, main_ddpir.py:414 —
+                # deblur/sr run the plain ancestral chain)
+                inpaint = task == "inpaint"
                 return xprev_sample(
                     self.diffusion, model_fn_with(params), plan, x, k_samp,
-                    y=y, mask=mask, ddim=cfg.ddim_sample,
+                    y=y if inpaint else None, mask=mask if inpaint else None,
+                    ddim=cfg.ddim_sample,
                     recover_known=cfg.recover_known)
 
             if cfg.generate_mode in ("DPS_y0", "DPS_yt"):

@@ -224,24 +224,27 @@ def xprev_sample(
     x_init: jnp.ndarray,
     key: jax.Array,
     *,
-    y: jnp.ndarray,
-    mask: jnp.ndarray,
+    y: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
     ddim: bool = False,
     recover_known: bool = True,
 ) -> jnp.ndarray:
-    """Inpainting with ``model_output_type='pred_x_prev'``.
+    """``model_output_type='pred_x_prev'`` trajectories.
 
     Reference semantics (``main_ddpir.py:365-366, 414-419``): each macro step
-    takes ONE ancestral (or DDIM) micro-step of the base chain at t_i, then
-    applies the masked-average prox to the sampled x directly; there is no
-    DiffPIR renoise, and the final step's model call IS consumed.  Build the
-    plan with ``rho_mode='xprev'`` (sigma_k = sqrt(beta/alpha),
-    ``main_ddpir.py:282-283``).
+    takes ONE ancestral (or DDIM) micro-step of the base chain at t_i; for
+    inpainting the masked-average prox is then applied to the sampled x
+    directly; there is no DiffPIR renoise, and the final step's model call IS
+    consumed.  For deblur/SR the reference applies NO data term at all in
+    this mode (its analytic-solve branch is inpaint-only,
+    ``main_ddpir.py:414``; deblur/sr fall through to the plain chain) — pass
+    ``mask=None`` for that behavior.  Build the plan with
+    ``rho_mode='xprev'`` (sigma_k = sqrt(beta/alpha), ``main_ddpir.py:282-283``).
     """
     t_tab = jnp.asarray(plan.t)
     rho_tab = jnp.asarray(plan.rho)
     prox_tab = jnp.asarray(plan.prox)
-    y2 = (2.0 * y - 1.0).astype(jnp.float32)
+    y2 = None if y is None else (2.0 * y - 1.0).astype(jnp.float32)
     n = plan.n_steps
 
     def step(x, i):
@@ -251,13 +254,14 @@ def xprev_sample(
         out = (diffusion.ddim_sample(model_fn, x, t_vec, k) if ddim
                else diffusion.p_sample(model_fn, x, t_vec, k))
         x = out["sample"]
-        tau = rho_tab[i]
-        x_p = (mask * y2 + tau * x) / (mask + tau)
-        x = jnp.where(prox_tab[i] & (i < n - 1), x_p, x)
+        if mask is not None:
+            tau = rho_tab[i]
+            x_p = (mask * y2 + tau * x) / (mask + tau)
+            x = jnp.where(prox_tab[i] & (i < n - 1), x_p, x)
         return x, None
 
     x, _ = jax.lax.scan(step, x_init, jnp.arange(n))
-    if recover_known:
+    if recover_known and mask is not None:
         x = mask * y2 + (1.0 - mask) * x
     return x * 0.5 + 0.5
 

@@ -86,6 +86,13 @@ class CSVOutputFormat:
     def __init__(self, filename: str):
         self.filename = filename
         self.keys: list[str] = []
+        # resuming into an existing csv: adopt its header so appended rows
+        # stay column-aligned (new keys are appended and old rows padded)
+        if osp.exists(filename):
+            with open(filename) as f:
+                first = f.readline().strip()
+            if first:
+                self.keys = first.split(",")
 
     def writekvs(self, kvs: dict) -> None:
         extra = sorted(set(kvs.keys()) - set(self.keys))

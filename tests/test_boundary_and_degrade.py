@@ -169,3 +169,19 @@ def test_motion_psf_statistics():
     # high intensity curls the path => fatter second moment on average
     assert np.median(ratios_low) < 0.05
     assert np.median(ratios_high) > 2 * np.median(ratios_low)
+
+
+def test_solve_min_laplacian_degenerate_shapes_match_reference():
+    """Single-interior-row/column inputs take the reference's special DST
+    axis/normalization branches (utils_deblur.py:403-432) — folding them into
+    the general case diverges by ~0.4 max abs."""
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    rd = _ref_deblur()
+    rng = np.random.default_rng(2)
+    for shape in [(3, 10), (10, 3), (3, 3), (8, 8), (4, 17)]:
+        b = rng.random(shape)
+        np.testing.assert_allclose(
+            boundary.solve_min_laplacian(b.copy()),
+            rd.solve_min_laplacian(b.copy()), atol=1e-10,
+            err_msg=str(shape))

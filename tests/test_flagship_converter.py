@@ -94,3 +94,57 @@ def test_flagship_forward_parity_256px(name):
     ours = np.asarray(flax_model.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(t)))
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_conv_resample_topology_roundtrip_and_parity():
+    """resblock_updown=False topologies: standalone Downsample/Upsample convs
+    live under torch `.op`/`.conv` nesting (unet.py:98,131) — the converter
+    must map them both ways (the inverse previously emitted bare `.weight`
+    keys that strict load_state_dict rejects)."""
+    from diffpir_tpu.models.convert import flax_to_torch_state_dict
+    from diffpir_tpu.models.unet import UNetConfig
+
+    torch_model = UNetModel(
+        image_size=16, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), dropout=0.0,
+        channel_mult=(1, 2), num_classes=None, use_checkpoint=False,
+        use_fp16=False, num_heads=4, num_head_channels=16,
+        num_heads_upsample=-1, use_scale_shift_norm=True,
+        resblock_updown=False, conv_resample=True,
+        use_new_attention_order=False,
+    ).eval()
+    sd = torch_model.state_dict()
+    gen = torch.Generator().manual_seed(7)
+    for k in sd:
+        sd[k] = torch.randn(sd[k].shape, generator=gen) * 0.04
+    torch_model.load_state_dict(sd)
+    assert any(".op.weight" in k for k in sd), "fixture must contain Downsample"
+    assert any(".conv.weight" in k for k in sd), "fixture must contain Upsample"
+
+    params = convert_state_dict({k: v.numpy() for k, v in sd.items()})
+    cfg = UNetConfig(image_size=16, model_channels=32, out_channels=6,
+                     num_res_blocks=1, attention_resolutions=(2,),
+                     channel_mult=(1, 2), num_heads=4, num_head_channels=16,
+                     dropout=0.0, use_scale_shift_norm=True,
+                     resblock_updown=False, conv_resample=True)
+    flax_model = UNet(cfg)
+
+    # forward parity
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    t = np.array([5, 400], np.int32)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          torch.from_numpy(t)).numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(flax_model.apply({"params": params}, jnp.asarray(x),
+                                       jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
+
+    # exact round trip: torch -> flax -> torch loads strict and bit-matches
+    back = flax_to_torch_state_dict(params)
+    assert set(back) == set(sd)
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in back.items()},
+        strict=True)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)

@@ -326,3 +326,57 @@ def test_microbatch_divisibility_guard():
     small = jnp.asarray(rng.standard_normal((3, 16, 16, 3)).astype(np.float32))
     s2, m = t_big.train_step(s2, small, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_config_validation_and_noise_model_override(tmp_path):
+    from diffpir_tpu.config import load_config
+
+    with pytest.raises(ValueError, match="model_output_type"):
+        load_config(None, dict(task="deblur", cwd=str(tmp_path),
+                               model_output_type="pred_xstar"))
+    # explicit numeric noise_level_model is honored (/255 units); the
+    # reference-YAML sentinel string still defaults it to noise_level_img
+    cfg = load_config(None, dict(task="deblur", cwd=str(tmp_path),
+                                 noise_level_img=12.75,
+                                 noise_level_model=5.0))
+    assert cfg.noise_level_model == pytest.approx(5.0 / 255.0)
+    cfg2 = load_config(None, dict(task="deblur", cwd=str(tmp_path),
+                                  noise_level_img=12.75))
+    assert cfg2.noise_level_model == cfg2.noise_level_img
+
+
+def test_setup_logger_adds_file_handler_later(tmp_path):
+    """A stream-only logger created first must still gain the file handler
+    when a log path arrives (evaluate(save=False) then save=True)."""
+    from diffpir_tpu.runner import setup_logger
+
+    name = f"t_{tmp_path.name}"
+    lg = setup_logger(name, None)
+    path = str(tmp_path / "run.log")
+    lg2 = setup_logger(name, path)
+    assert lg2 is lg
+    lg2.info("hello-artifact")
+    setup_logger(name, path)  # idempotent: no duplicate handler
+    assert sum(1 for h in lg2.handlers
+               if getattr(h, "baseFilename", None)) == 1
+    with open(path) as f:
+        assert "hello-artifact" in f.read()
+
+
+def test_csv_writer_resume_keeps_columns_aligned(tmp_path):
+    """Appending to an existing progress.csv adopts its header, so resumed
+    runs don't silently swap column meanings."""
+    import csv as _csv
+
+    from diffpir_tpu.utils.kvlogger import CSVOutputFormat
+
+    path = str(tmp_path / "progress.csv")
+    w1 = CSVOutputFormat(path)
+    w1.writekvs({"z": 1})
+    w1.writekvs({"a": 2, "z": 3})
+    w2 = CSVOutputFormat(path)  # process restart
+    w2.writekvs({"a": 5, "z": 6})
+    with open(path) as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["z"] for r in rows] == ["1", "3", "6"]
+    assert [r["a"] for r in rows] == ["", "2", "5"]

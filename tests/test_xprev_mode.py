@@ -45,3 +45,31 @@ def test_xprev_inpaint_runs(tmp_path, ddim):
     assert np.isfinite(res["psnr"])
     # known pixels recovered exactly
     assert res["psnr"] > 8.0
+
+
+def test_xprev_deblur_ignores_kernel(tmp_path):
+    """pred_x_prev on deblur/sr runs the plain ancestral chain — the
+    reference's analytic data solve is inpaint-only in this mode
+    (main_ddpir.py:414); the kernel must not influence the restoration.
+    Previously these configs silently fell through to the pred_xstart
+    FFT-prox pipeline."""
+    from diffpir_tpu.data import Batch
+
+    cfg = load_config(None, dict(
+        task="deblur", model_name="tiny_test", cwd=str(tmp_path),
+        iter_num=3, batch_size=2, seed=0, save_E=False, save_L=False,
+        dtype="float32", noise_level_img=0,
+        model_output_type="pred_x_prev"))
+    runner = Runner(cfg, use_mesh=False)
+    rng = np.random.default_rng(0)
+    img_H = rng.integers(0, 256, (2, IMG, IMG, 3)).astype(np.uint8)
+    y = img_H.astype(np.float32) / 255.0
+    k1 = np.zeros((2, 7, 7), np.float32); k1[:, 3, 3] = 1.0
+    k2 = np.full((2, 7, 7), 1.0 / 49.0, np.float32)
+    mask = np.ones_like(y)
+    b1 = Batch(img_H=img_H, img_L=y, kernel=k1, mask=mask, names=["a", "b"])
+    b2 = Batch(img_H=img_H, img_L=y, kernel=k2, mask=mask, names=["a", "b"])
+    o1 = runner.restore_batch(b1, seed=0)
+    o2 = runner.restore_batch(b2, seed=0)
+    assert np.isfinite(o1).all()
+    np.testing.assert_array_equal(o1, o2)
