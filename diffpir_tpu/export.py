@@ -1,0 +1,174 @@
+"""Ahead-of-time export of compiled restore programs (jax.export / StableHLO).
+
+The reference has no deployment story beyond "run the research script"
+(SURVEY.md §0); a production TPU serving stack wants the opposite: compile the
+whole restoration trajectory ONCE, serialize the artifact, and load it in a
+serving process that carries no model-definition code (and, with
+cross-platform lowering, was not even built on the target hardware).
+
+``jax.export`` serializes the jitted function to versioned StableHLO with a
+stable calling convention:
+
+  * ``export_restore`` — lower the runner's whole-batch restore program
+    (the same single-``lax.scan`` trajectory ``Runner.restore_batch`` runs)
+    for fixed shapes and serialize it to bytes.
+  * ``save_bundle`` / ``load_bundle`` — directory artifact holding the
+    serialized program plus the model parameters (npz) and the input-shape
+    manifest; ``load_bundle`` returns a plain callable
+    ``(y, kernel, mask, seed) -> restored`` backed by the deserialized
+    program — no UNet/Flax/sampler imports needed at serving time.
+
+Notes
+-----
+* Parameters stay *arguments* of the exported program (not baked-in
+  constants) so one artifact serves checkpoint refreshes without re-export.
+* ``platforms=("tpu", "cpu")`` cross-lowers: the artifact can be produced on
+  a CPU build box and executed on TPU serving hosts (or unit-tested on CPU).
+* Exported programs are fixed-shape by design — the serving layer's
+  fixed-shape batching (``serve.RestorationService``) is exactly the shape
+  discipline the artifact needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax import export as jexport
+
+from diffpir_tpu.runner import Runner
+
+__all__ = ["export_restore", "save_bundle", "load_bundle", "LoadedRestore"]
+
+_MANIFEST = "manifest.json"
+_PROGRAM = "restore.stablehlo.bin"
+_PARAMS = "params.npz"
+
+
+def _example_structs(runner: Runner, *, batch: int, height: int, width: int,
+                     kernel_hw: tuple[int, int] = (1, 1)):
+    """ShapeDtypeStructs for (y, kernel, mask, key) at the given geometry.
+
+    ``y`` is the degraded observation (LR for SR: height/width here are the
+    *observation* dims); ``mask`` lives at the restored resolution
+    (``Runner.restore_batch`` conventions).
+    """
+    cfg = runner.cfg
+    C = cfg.n_channels
+    sf = cfg.sf if cfg.task == "sr" else 1
+    y = jax.ShapeDtypeStruct((batch, height, width, C), np.float32)
+    kern = jax.ShapeDtypeStruct((batch,) + tuple(kernel_hw), np.float32)
+    mask = jax.ShapeDtypeStruct((batch, height * sf, width * sf, C), np.float32)
+    key = jax.ShapeDtypeStruct((2,), np.uint32)  # raw PRNGKey data
+    return y, kern, mask, key
+
+
+def export_restore(runner: Runner, *, batch: int, height: int, width: int,
+                   kernel_hw: tuple[int, int] = (1, 1),
+                   lambda_: Optional[float] = None,
+                   zeta: Optional[float] = None,
+                   platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+    """Serialize the compiled whole-batch restore program to bytes.
+
+    The exported calling convention is
+    ``program(params, y, kernel, mask, key_data) -> restored`` with
+    ``key_data`` the raw ``(2,)`` uint32 PRNGKey array.
+    """
+    cfg = runner.cfg
+    lambda_ = cfg.lambda_ if lambda_ is None else lambda_
+    zeta = cfg.zeta if zeta is None else zeta
+    plan = runner._plan(lambda_, zeta)
+    base = runner._restore_fn(plan, zeta, lambda_)
+
+    # the exported calling convention takes params as a FLAT LIST of arrays
+    # (matching the npz bundle layout) so the serving process never needs the
+    # Flax param-tree structure; the treedef is baked in here as a static
+    flat, treedef = jax.tree_util.tree_flatten(runner.params)
+
+    def fn(params_flat, y, kern, mask, key_data):
+        params = jax.tree_util.tree_unflatten(treedef, params_flat)
+        # key_data is a raw (2,) uint32 array == old-style PRNGKey
+        out = base(params, y, kern, mask, key_data, None)
+        return out[0] if isinstance(out, tuple) else out
+
+    structs = _example_structs(runner, batch=batch, height=height, width=width,
+                               kernel_hw=kernel_hw)
+    flat_structs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype) for x in flat]
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        flat_structs, *structs)
+    return exported.serialize()
+
+
+def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
+                width: int, kernel_hw: tuple[int, int] = (1, 1),
+                lambda_: Optional[float] = None, zeta: Optional[float] = None,
+                platforms: Sequence[str] = ("tpu", "cpu")) -> str:
+    """Write a self-contained serving artifact directory.
+
+    Contents: the serialized program, the parameters (flat npz, fp32/bf16 as
+    bound), and a JSON manifest with the expected input shapes.
+    """
+    os.makedirs(path, exist_ok=True)
+    blob = export_restore(runner, batch=batch, height=height, width=width,
+                          kernel_hw=kernel_hw, lambda_=lambda_, zeta=zeta,
+                          platforms=platforms)
+    with open(os.path.join(path, _PROGRAM), "wb") as f:
+        f.write(blob)
+
+    flat, treedef = jax.tree_util.tree_flatten(runner.params)
+    np.savez(os.path.join(path, _PARAMS),
+             **{str(i): np.asarray(v) for i, v in enumerate(flat)})
+    cfg = runner.cfg
+    manifest = dict(
+        task=cfg.task, sf=cfg.sf if cfg.task == "sr" else 1,
+        n_channels=cfg.n_channels, batch=batch, height=height, width=width,
+        kernel_hw=list(kernel_hw), platforms=list(platforms),
+        model_name=cfg.model_name, iter_num=cfg.iter_num,
+        treedef=str(treedef),
+    )
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+class LoadedRestore:
+    """A deserialized restore program bound to its parameters.
+
+    Callable as ``loaded(y, kernel=None, mask=None, seed=0) -> np.ndarray``
+    with host numpy arrays at exactly the manifest shapes.
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(path, _PROGRAM), "rb") as f:
+            self._exported = jexport.deserialize(f.read())
+        with np.load(os.path.join(path, _PARAMS)) as z:
+            self._params_flat = [z[str(i)] for i in range(len(z.files))]
+
+    def __call__(self, y: np.ndarray, kernel: Optional[np.ndarray] = None,
+                 mask: Optional[np.ndarray] = None, seed: int = 0) -> np.ndarray:
+        m = self.manifest
+        B, H, W, C = m["batch"], m["height"], m["width"], m["n_channels"]
+        sf = m["sf"]
+        y = np.asarray(y, np.float32)
+        if y.shape != (B, H, W, C):
+            raise ValueError(f"y must be {(B, H, W, C)}, got {y.shape}")
+        if kernel is None:
+            kernel = np.ones((B,) + tuple(m["kernel_hw"]), np.float32)
+            kernel /= kernel[0].size
+        if mask is None:
+            mask = np.ones((B, H * sf, W * sf, C), np.float32)
+        key_data = np.asarray(jax.random.PRNGKey(seed), np.uint32)
+        out = self._exported.call(self._params_flat, y,
+                                  np.asarray(kernel, np.float32),
+                                  np.asarray(mask, np.float32), key_data)
+        return np.asarray(out)
+
+
+def load_bundle(path: str) -> LoadedRestore:
+    """Load a ``save_bundle`` artifact; see ``LoadedRestore``."""
+    return LoadedRestore(path)

@@ -1,0 +1,71 @@
+"""AOT export (jax.export bundle) round-trips the restore program.
+
+The exported StableHLO artifact must reproduce `Runner.restore_batch`
+bit-for-bit: same trajectory program, same params, same PRNG stream.
+"""
+
+import numpy as np
+import pytest
+
+from diffpir_tpu.config import load_config
+from diffpir_tpu.data import Batch
+from diffpir_tpu.export import load_bundle, save_bundle
+from diffpir_tpu.runner import Runner
+
+
+def _cfg(task, **kw):
+    return load_config(None, overrides=dict(
+        task=task, model_name="tiny_test", iter_num=3, iter_num_U=1,
+        batch_size=2, noise_level_img=0.02, seed=0, dtype="float32",
+        save_E=False, save_L=False, **kw))
+
+
+def _batch(task, rng, B=2, H=32):
+    img_H = rng.integers(0, 256, (B, H, H, 3)).astype(np.uint8)
+    mask = np.ones((B, H, H, 3), np.float32)
+    kernel = np.ones((B, 1, 1), np.float32)
+    if task == "inpaint":
+        mask = (rng.uniform(size=(B, H, H, 3)) > 0.3).astype(np.float32)
+        img_L = img_H.astype(np.float32) * mask / 255.0
+    else:  # deblur
+        k = np.zeros((5, 5), np.float32)
+        k[1:4, 1:4] = 1.0 / 9.0
+        kernel = np.broadcast_to(k, (B, 5, 5)).copy()
+        img_L = img_H.astype(np.float32) / 255.0
+    return Batch(img_H=img_H, img_L=img_L.astype(np.float32), kernel=kernel,
+                 mask=mask, names=[f"im{i}" for i in range(B)])
+
+
+@pytest.mark.parametrize("task", ["inpaint", "deblur"])
+def test_bundle_roundtrip_matches_runner(tmp_path, task):
+    rng = np.random.default_rng(0)
+    cfg = _cfg(task)
+    runner = Runner(cfg, use_mesh=False)
+    batch = _batch(task, rng)
+
+    want = runner.restore_batch(batch, seed=7)
+
+    path = save_bundle(
+        runner, str(tmp_path / "bundle"), batch=2, height=32, width=32,
+        kernel_hw=tuple(batch.kernel.shape[1:]), platforms=("cpu",))
+    loaded = load_bundle(path)
+    got = loaded(batch.img_L, kernel=batch.kernel, mask=batch.mask, seed=7)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_bundle_manifest_and_validation(tmp_path):
+    rng = np.random.default_rng(1)
+    cfg = _cfg("inpaint")
+    runner = Runner(cfg, use_mesh=False)
+    path = save_bundle(runner, str(tmp_path / "b"), batch=2, height=32,
+                       width=32, platforms=("cpu",))
+    loaded = load_bundle(path)
+    assert loaded.manifest["task"] == "inpaint"
+    assert loaded.manifest["batch"] == 2
+    with pytest.raises(ValueError, match="y must be"):
+        loaded(np.zeros((1, 32, 32, 3), np.float32))
+    # defaults: identity mask/kernel — runs end to end
+    out = loaded(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    assert np.isfinite(out).all()

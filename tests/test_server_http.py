@@ -1,0 +1,129 @@
+"""HTTP serving frontend: concurrent clients, npz/png bodies, error paths."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from diffpir_tpu.config import load_config
+from diffpir_tpu.serve import RestorationService
+from diffpir_tpu.server_http import start_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = load_config(None, overrides=dict(
+        task="inpaint", model_name="tiny_test", iter_num=2, iter_num_U=1,
+        batch_size=2, noise_level_img=0.0, seed=0, dtype="float32",
+        save_E=False, save_L=False))
+    service = RestorationService(cfg, use_mesh=False, service_batch=2,
+                                 max_wait_ms=40.0)
+    httpd = start_server(service, port=0)
+    host, port = httpd.server_address
+    yield f"http://{host}:{port}", service
+    httpd.shutdown()
+    service.close()
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url + "/restore", data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.headers.get("Content-Type"), r.read()
+
+
+def _npz_body(image, mask=None):
+    buf = io.BytesIO()
+    arrs = {"image": image}
+    if mask is not None:
+        arrs["mask"] = mask
+    np.savez(buf, **arrs)
+    return buf.getvalue()
+
+
+def test_healthz_and_stats(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok" and info["task"] == "inpaint"
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert {"requests", "images", "errors", "avg_latency_s"} <= set(stats)
+
+
+def test_concurrent_npz_requests_coalesce(server):
+    url, service = server
+    rng = np.random.default_rng(0)
+    imgs = [rng.uniform(size=(16, 16, 3)).astype(np.float32) for _ in range(4)]
+    masks = [(rng.uniform(size=(16, 16, 3)) > 0.3).astype(np.float32)
+             for _ in range(4)]
+    results = [None] * 4
+    errs = []
+
+    def call(i):
+        try:
+            ctype, body = _post(url, _npz_body(imgs[i] * masks[i], masks[i]),
+                                "application/x-npz")
+            assert ctype == "application/x-npz"
+            with np.load(io.BytesIO(body)) as z:
+                results[i] = z["restored"]
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errs, errs
+    for r in results:
+        assert r is not None and r.shape == (16, 16, 3)
+        assert np.isfinite(r).all()
+
+
+def test_png_roundtrip(server):
+    from PIL import Image
+
+    url, _ = server
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(u8).save(buf, format="PNG")
+    ctype, body = _post(url, buf.getvalue(), "image/png")
+    assert ctype == "image/png"
+    out = np.asarray(Image.open(io.BytesIO(body)))
+    assert out.shape == (16, 16, 3)
+
+
+def test_bad_requests_return_400(server):
+    url, _ = server
+    # wrong content type
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, b"junk", "text/plain")
+    assert ei.value.code == 400
+    # npz without 'image'
+    buf = io.BytesIO()
+    np.savez(buf, foo=np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, buf.getvalue(), "application/x-npz")
+    assert ei.value.code == 400
+    # malformed image shape (validation error from the service)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, _npz_body(np.zeros((4, 4), np.float32)), "application/x-npz")
+    assert ei.value.code == 400
+    # unknown route
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url + "/nope", b"", "application/x-npz")
+    assert ei.value.code == 404
+
+
+def test_stats_progress(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 5
+    assert stats["errors"] >= 3
