@@ -27,6 +27,11 @@ Notes
 * Exported programs are fixed-shape by design — the serving layer's
   fixed-shape batching (``serve.RestorationService``) is exactly the shape
   discipline the artifact needs.
+* Mesh-sharded runners export mesh bundles: the program is captured with its
+  real placements (batch over 'data', params with their Megatron-TP specs),
+  so the artifact contains the partitioned computation *and* the ICI
+  collectives; the manifest records the mesh geometry + per-leaf specs and
+  ``load_bundle`` rebuilds them on the serving host's devices.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 from jax import export as jexport
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from diffpir_tpu.runner import Runner
 
@@ -46,6 +52,31 @@ __all__ = ["export_restore", "save_bundle", "load_bundle", "LoadedRestore"]
 _MANIFEST = "manifest.json"
 _PROGRAM = "restore.stablehlo.bin"
 _PARAMS = "params.npz"
+
+
+def _spec_to_json(spec) -> list:
+    """PartitionSpec -> JSON list (axis name, list of names, or null)."""
+    return [list(e) if isinstance(e, tuple) else e for e in tuple(spec)]
+
+
+def _spec_from_json(lst) -> P:
+    return P(*[tuple(e) if isinstance(e, list) else e for e in lst])
+
+
+def _mesh_manifest(runner: Runner, flat) -> Optional[dict]:
+    """Mesh geometry + per-leaf param specs (None for single-device runners)."""
+    mesh = runner.mesh
+    if mesh is None:
+        return None
+    return dict(
+        axis_names=list(mesh.axis_names),
+        shape=[int(mesh.shape[a]) for a in mesh.axis_names],
+        param_specs=[_spec_to_json(x.sharding.spec) for x in flat],
+    )
+
+
+def _data_spec(ndim: int) -> P:
+    return P("data", *([None] * (ndim - 1)))
 
 
 def _example_structs(runner: Runner, *, batch: int, height: int, width: int,
@@ -96,7 +127,28 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
 
     structs = _example_structs(runner, batch=batch, height=height, width=width,
                                kernel_hw=kernel_hw)
-    flat_structs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype) for x in flat]
+    if runner.mesh is not None:
+        # record the real placements: params keep their (possibly Megatron-TP)
+        # shardings, observations shard over the 'data' axis — the exported
+        # program then contains the partitioned computation + collectives
+        mesh = runner.mesh
+        repl = NamedSharding(mesh, P())
+        y_s, k_s, m_s, key_s = structs
+        structs = (
+            jax.ShapeDtypeStruct(y_s.shape, y_s.dtype,
+                                 sharding=NamedSharding(mesh, _data_spec(4))),
+            jax.ShapeDtypeStruct(k_s.shape, k_s.dtype,
+                                 sharding=NamedSharding(mesh, _data_spec(3))),
+            jax.ShapeDtypeStruct(m_s.shape, m_s.dtype,
+                                 sharding=NamedSharding(mesh, _data_spec(4))),
+            jax.ShapeDtypeStruct(key_s.shape, key_s.dtype, sharding=repl),
+        )
+        flat_structs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                             sharding=x.sharding)
+                        for x in flat]
+    else:
+        flat_structs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+                        for x in flat]
     exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
         flat_structs, *structs)
     return exported.serialize()
@@ -128,6 +180,7 @@ def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
         kernel_hw=list(kernel_hw), platforms=list(platforms),
         model_name=cfg.model_name, iter_num=cfg.iter_num,
         treedef=str(treedef),
+        mesh=_mesh_manifest(runner, flat),
     )
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -149,6 +202,31 @@ class LoadedRestore:
         with np.load(os.path.join(path, _PARAMS)) as z:
             self._params_flat = [z[str(i)] for i in range(len(z.files))]
 
+        mesh_info = self.manifest.get("mesh")
+        if mesh_info is None:
+            self._call = self._exported.call
+            return
+        # rebuild the recorded mesh geometry on this host's devices and wrap
+        # the program with the original input shardings — callers still pass
+        # plain host arrays
+        shape = mesh_info["shape"]
+        n = int(np.prod(shape))
+        devices = jax.devices()
+        if len(devices) < n:
+            raise RuntimeError(
+                f"bundle was exported for a {shape} mesh ({n} devices); "
+                f"this host has {len(devices)}")
+        mesh = Mesh(np.asarray(devices[:n]).reshape(shape),
+                    tuple(mesh_info["axis_names"]))
+        param_sh = [NamedSharding(mesh, _spec_from_json(s))
+                    for s in mesh_info["param_specs"]]
+        in_sh = (param_sh,
+                 NamedSharding(mesh, _data_spec(4)),
+                 NamedSharding(mesh, _data_spec(3)),
+                 NamedSharding(mesh, _data_spec(4)),
+                 NamedSharding(mesh, P()))
+        self._call = jax.jit(self._exported.call, in_shardings=in_sh)
+
     def __call__(self, y: np.ndarray, kernel: Optional[np.ndarray] = None,
                  mask: Optional[np.ndarray] = None, seed: int = 0) -> np.ndarray:
         m = self.manifest
@@ -163,9 +241,9 @@ class LoadedRestore:
         if mask is None:
             mask = np.ones((B, H * sf, W * sf, C), np.float32)
         key_data = np.asarray(jax.random.PRNGKey(seed), np.uint32)
-        out = self._exported.call(self._params_flat, y,
-                                  np.asarray(kernel, np.float32),
-                                  np.asarray(mask, np.float32), key_data)
+        out = self._call(self._params_flat, y,
+                         np.asarray(kernel, np.float32),
+                         np.asarray(mask, np.float32), key_data)
         return np.asarray(out)
 
 

@@ -116,6 +116,12 @@ def load_data(*, data_dir: str, batch_size: int, image_size: int,
     ds = ImageDataset(image_size, files, classes, shard=shard,
                       num_shards=num_shards, random_crop=random_crop,
                       random_flip=random_flip, seed=seed)
+    if len(ds) < batch_size:
+        # the drop-last batching below would otherwise yield nothing and the
+        # infinite loop would spin forever
+        raise ValueError(
+            f"shard {shard}/{num_shards} has {len(ds)} images < batch_size "
+            f"{batch_size} (under {data_dir!r})")
     order_rng = random.Random(seed * 7919 + shard)
     order = list(range(len(ds)))
     while True:

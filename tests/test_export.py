@@ -14,10 +14,12 @@ from diffpir_tpu.runner import Runner
 
 
 def _cfg(task, **kw):
-    return load_config(None, overrides=dict(
+    base = dict(
         task=task, model_name="tiny_test", iter_num=3, iter_num_U=1,
         batch_size=2, noise_level_img=0.02, seed=0, dtype="float32",
-        save_E=False, save_L=False, **kw))
+        save_E=False, save_L=False)
+    base.update(kw)
+    return load_config(None, overrides=base)
 
 
 def _batch(task, rng, B=2, H=32):
@@ -53,6 +55,27 @@ def test_bundle_roundtrip_matches_runner(tmp_path, task):
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8,), (2, 4)])
+def test_mesh_bundle_matches_single_device(tmp_path, mesh_shape):
+    """dp and dp x tp mesh bundles reproduce the unsharded runner's output."""
+    rng = np.random.default_rng(2)
+    B = 8
+    cfg_plain = _cfg("inpaint", batch_size=B)
+    runner_plain = Runner(cfg_plain, use_mesh=False)
+    batch = _batch("inpaint", rng, B=B)
+    want = runner_plain.restore_batch(batch, seed=5)
+
+    cfg_mesh = _cfg("inpaint", batch_size=B, mesh_shape=list(mesh_shape))
+    runner_mesh = Runner(cfg_mesh, use_mesh=True)
+    assert runner_mesh.mesh is not None
+    path = save_bundle(runner_mesh, str(tmp_path / "mesh_bundle"), batch=B,
+                       height=32, width=32, platforms=("cpu",))
+    loaded = load_bundle(path)
+    assert loaded.manifest["mesh"]["shape"] == list(mesh_shape)
+    got = loaded(batch.img_L, mask=batch.mask, seed=5)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
 
 
 def test_bundle_manifest_and_validation(tmp_path):
