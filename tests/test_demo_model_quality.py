@@ -131,3 +131,21 @@ def test_demo64_deblur_quality():
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
     assert res["psnr"] > 30.0, res
     assert res["ssim"] > 0.8, res
+
+
+def test_demo64_sr_quality():
+    """x2 super-resolution (blur + downsample observation) with the
+    TPU-trained prior — covers the third task family end to end
+    (measured 38.5 dB / 0.961 SSIM; thresholds leave slack)."""
+    demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
+    if not os.path.exists(demo64):
+        pytest.skip("tiny_demo64 not trained yet")
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "demo64_sisr.yaml"),
+                      dict(cwd=repo, save_E=False, save_L=False))
+    res = Runner(cfg, use_mesh=False).evaluate(save=False)
+    assert res["psnr"] > 33.0, res
+    assert res["ssim"] > 0.85, res
