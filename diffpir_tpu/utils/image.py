@@ -31,7 +31,7 @@ __all__ = [
     "imread_uint", "imsave", "imsave_batch", "uint2single", "single2uint",
     "modcrop", "shave", "augment", "augment_inverse",
     "psnr", "psnr_batch", "ssim", "rgb_to_y", "rgb_to_y_batch",
-    "list_images",
+    "rgb_to_ycbcr", "ycbcr_to_rgb", "list_images",
 ]
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".tif", ".tiff")
@@ -242,3 +242,43 @@ def rgb_to_y_batch(batch: np.ndarray) -> np.ndarray:
     (the reference applies it directly to [-1,1] images for PSNR-Y)."""
     return (0.299 * batch[..., 0] + 0.587 * batch[..., 1]
             + 0.114 * batch[..., 2])[..., None]
+
+
+def rgb_to_ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
+    """MATLAB rgb2ycbcr (reference ``utils_image.py:446-467``).
+
+    uint8 [0,255] in -> uint8 out; float [0,1] -> float [0,1].  Unlike the
+    reference, never mutates the input (``utils_image.py:454-456`` discards
+    its ``astype`` and then scales the caller's float array in place).
+    """
+    if only_y:
+        return rgb_to_y(img)
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    m = np.array([[65.481, -37.797, 112.0],
+                  [128.553, -74.203, -93.786],
+                  [24.966, 112.0, -18.214]])
+    out = x @ m / 255.0 + np.array([16.0, 128.0, 128.0])
+    if in_type == np.uint8:
+        return out.round().astype(np.uint8)
+    return (out / 255.0).astype(in_type)
+
+
+def ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    """MATLAB ycbcr2rgb (reference ``utils_image.py:493-511``), mutation-free.
+
+    Inverse of ``rgb_to_ycbcr(only_y=False)`` up to the [0,255] clip."""
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    m = np.array([[0.00456621, 0.00456621, 0.00456621],
+                  [0.0, -0.00153632, 0.00791071],
+                  [0.00625893, -0.00318811, 0.0]])
+    out = x @ m * 255.0 + np.array([-222.921, 135.576, -276.836])
+    out = np.clip(out, 0, 255)
+    if in_type == np.uint8:
+        return out.round().astype(np.uint8)
+    return (out / 255.0).astype(in_type)

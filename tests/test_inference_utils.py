@@ -159,3 +159,33 @@ def test_x8_apply_identity_nonsquare():
                      .standard_normal((2, 8, 8, 3)).astype(np.float32))
     np.testing.assert_allclose(np.asarray(x8_apply(lambda v: v, xs)),
                                np.asarray(xs), rtol=1e-6)
+
+
+def test_ycbcr_parity_with_reference():
+    """Full-matrix rgb<->ycbcr matches reference utils_image (which mutates
+    float inputs in place — hence the .copy() per call here)."""
+    if not reference_available():
+        pytest.skip("reference not present")
+    add_reference_to_path()
+    from utils import utils_image as ref
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    f32 = rng.random((9, 7, 3)).astype(np.float32)
+
+    np.testing.assert_array_equal(im.rgb_to_ycbcr(u8, only_y=False),
+                                  ref.rgb2ycbcr(u8.copy(), only_y=False))
+    np.testing.assert_allclose(im.rgb_to_ycbcr(f32, only_y=False),
+                               ref.rgb2ycbcr(f32.copy(), only_y=False),
+                               atol=1e-6)
+    ycc = im.rgb_to_ycbcr(f32, only_y=False)
+    np.testing.assert_allclose(im.ycbcr_to_rgb(ycc),
+                               ref.ycbcr2rgb(ycc.copy()), atol=1e-6)
+    # mutation-free (the reference scales float inputs in place)
+    f32_orig = f32.copy()
+    im.rgb_to_ycbcr(f32, only_y=False)
+    im.ycbcr_to_rgb(f32)
+    np.testing.assert_array_equal(f32, f32_orig)
+    # roundtrip: rgb -> ycbcr -> rgb within 1/255 quantization slack
+    back = im.ycbcr_to_rgb(im.rgb_to_ycbcr(f32, only_y=False))
+    assert float(np.abs(back - f32).max()) < 2.5 / 255.0
