@@ -250,3 +250,51 @@ class LoadedRestore:
 def load_bundle(path: str) -> LoadedRestore:
     """Load a ``save_bundle`` artifact; see ``LoadedRestore``."""
     return LoadedRestore(path)
+
+
+def main(argv: Optional[list] = None) -> None:
+    """CLI: produce a serving bundle from a task config.
+
+    python -m diffpir_tpu.export --opt configs/deblur.yaml --out artifact/ \\
+        --batch 8 --hw 256 256 --kernel 25 25 [--platforms tpu cpu] [--cpu]
+    """
+    import argparse
+
+    from diffpir_tpu.config import load_config
+
+    ap = argparse.ArgumentParser(description=main.__doc__.splitlines()[0])
+    ap.add_argument("--opt", required=True, help="task YAML config")
+    ap.add_argument("--out", required=True, help="bundle output directory")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch size (default: config batch_size)")
+    ap.add_argument("--hw", type=int, nargs=2, metavar=("H", "W"),
+                    default=(256, 256), help="observation height width")
+    ap.add_argument("--kernel", type=int, nargs=2, metavar=("KH", "KW"),
+                    default=(1, 1), help="PSF shape baked into the program")
+    ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    cfg = load_config(args.opt, overrides=overrides)
+    runner = Runner(cfg)
+    path = save_bundle(runner, args.out, batch=args.batch or cfg.batch_size,
+                       height=args.hw[0], width=args.hw[1],
+                       kernel_hw=tuple(args.kernel),
+                       platforms=tuple(args.platforms))
+    size = os.path.getsize(os.path.join(path, _PROGRAM))
+    print(f"wrote {path} (program {size / 1e6:.2f} MB, "
+          f"platforms {args.platforms})")
+
+
+if __name__ == "__main__":
+    main()
