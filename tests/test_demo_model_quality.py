@@ -129,14 +129,16 @@ def test_demo64_deblur_quality():
     cfg = load_config(os.path.join(repo, "configs", "demo64_deblur.yaml"),
                       dict(cwd=repo, save_E=False, save_L=False))
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
-    assert res["psnr"] > 30.0, res
-    assert res["ssim"] > 0.8, res
+    # measured 41.8 dB / 0.970 at the swept (lambda=150, zeta=1.0) defaults
+    assert res["psnr"] > 37.0, res
+    assert res["ssim"] > 0.9, res
 
 
 def test_demo64_sr_quality():
     """x2 super-resolution (blur + downsample observation) with the
     TPU-trained prior — covers the third task family end to end
-    (measured 38.5 dB / 0.961 SSIM; thresholds leave slack)."""
+    (measured 40.0 dB / 0.977 SSIM at the swept defaults; thresholds
+    leave slack)."""
     demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
     if not os.path.exists(demo64):
         pytest.skip("tiny_demo64 not trained yet")
@@ -147,5 +149,5 @@ def test_demo64_sr_quality():
     cfg = load_config(os.path.join(repo, "configs", "demo64_sisr.yaml"),
                       dict(cwd=repo, save_E=False, save_L=False))
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
-    assert res["psnr"] > 33.0, res
-    assert res["ssim"] > 0.85, res
+    assert res["psnr"] > 36.0, res
+    assert res["ssim"] > 0.92, res
