@@ -111,10 +111,10 @@ def test_demo64_prior_quality():
     cfg = load_config(os.path.join(repo, "configs", "demo64_inpaint.yaml"),
                       dict(cwd=repo, save_E=False, save_L=False))
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
-    # degraded input (50% pixels) sits near ~8-10 dB; a trained prior must
-    # add a large real gain
-    assert res["psnr"] > 20.0, res
-    assert res["ssim"] > 0.6, res
+    # degraded input (50% pixels) sits near ~8-10 dB; measured 41.0 dB /
+    # 0.985 at the shipped 50-NFE config — thresholds leave slack
+    assert res["psnr"] > 37.0, res
+    assert res["ssim"] > 0.95, res
 
 
 def test_demo64_deblur_quality():
