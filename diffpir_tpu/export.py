@@ -277,6 +277,9 @@ def main(argv: Optional[list] = None) -> None:
     args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     overrides = {}
     for kv in args.set:
         k, _, v = kv.partition("=")

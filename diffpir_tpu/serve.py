@@ -142,7 +142,10 @@ class RestorationService:
         for j in range(n):
             by_shape.setdefault(np.asarray(images[j]).shape, []).append(j)
 
-        chunk_no = 0  # advances across shape groups: distinct noise per launch
+        # flat chunk list so the loop below can double-buffer across chunks
+        # (and across shape groups): host prep of chunk c+1 and the fetch of
+        # chunk c both happen while the device computes chunk c.
+        chunks: list[tuple[list[int], int, int, int, str]] = []
         for shape, idx_group in by_shape.items():
             h, w = shape[:2]
             # pad to the UNet's deepest downsample factor (skip-connection
@@ -152,49 +155,60 @@ class RestorationService:
             ph, pw = (-h) % self._pad_mod, (-w) % self._pad_mod
             pad_mode = "reflect" if (ph < h and pw < w) else "edge"
             for i in range(0, len(idx_group), self.batch):
-                chunk = idx_group[i:i + self.batch]
-                real = len(chunk)
-                idxs = chunk + [chunk[0]] * (self.batch - real)
-                imgs = np.stack([np.asarray(images[j], np.float32)
+                chunks.append((idx_group[i:i + self.batch], (h, w), ph, pw,
+                               pad_mode))
+
+        def prep(chunk: list[int], ph: int, pw: int, pad_mode: str):
+            real = len(chunk)
+            idxs = chunk + [chunk[0]] * (self.batch - real)
+            imgs = np.stack([np.asarray(images[j], np.float32) for j in idxs])
+            if ph or pw:
+                imgs = np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                              mode=pad_mode)
+            if kernels is not None:
+                kern = np.stack([self._pad_kernel(kernels[j], imgs.shape[1:3])
                                  for j in idxs])
+            else:
+                kern = np.ones((self.batch, 1, 1), np.float32)
+            if masks is not None:
+                mk = np.stack([np.asarray(masks[j], np.float32) for j in idxs])
+                if mk.ndim == 3:
+                    mk = mk[..., None]
                 if ph or pw:
-                    imgs = np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                                  mode=pad_mode)
-                if kernels is not None:
-                    kern = np.stack([self._pad_kernel(kernels[j], imgs.shape[1:3])
-                                     for j in idxs])
-                else:
-                    kern = np.ones((self.batch, 1, 1), np.float32)
-                if masks is not None:
-                    mk = np.stack([np.asarray(masks[j], np.float32)
-                                   for j in idxs])
-                    if mk.ndim == 3:
-                        mk = mk[..., None]
-                    if ph or pw:
-                        # pad masks the same way as y so (y, mask) stay
-                        # consistent in the padded margin
-                        mk = np.pad(mk, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                                    mode=pad_mode)
-                    if mk.shape[-1] == 1:
-                        mk = np.repeat(mk, imgs.shape[-1], axis=-1)
-                else:
-                    mk = np.ones_like(imgs)
-                batch = Batch(img_H=np.zeros_like(imgs, dtype=np.uint8),
-                              img_L=imgs, kernel=kern, mask=mk,
-                              names=[str(j) for j in idxs])
-                with self._lock:
-                    restored = self.runner.restore_batch(
-                        batch, seed=seed + chunk_no)
-                chunk_no += 1
-                if isinstance(restored, tuple):
-                    restored = restored[0]
-                out = np.asarray(restored[:real])
-                if ph or pw:
-                    # output scale (1 for inpaint/deblur, sf for SR)
-                    s = out.shape[1] // imgs.shape[1]
-                    out = out[:, :h * s, :w * s]
-                for j, o in zip(chunk, out):
-                    outs[j] = o
+                    # pad masks the same way as y so (y, mask) stay
+                    # consistent in the padded margin
+                    mk = np.pad(mk, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                mode=pad_mode)
+                if mk.shape[-1] == 1:
+                    mk = np.repeat(mk, imgs.shape[-1], axis=-1)
+            else:
+                mk = np.ones_like(imgs)
+            return Batch(img_H=np.zeros_like(imgs, dtype=np.uint8),
+                         img_L=imgs, kernel=kern, mask=mk,
+                         names=[str(j) for j in idxs]), imgs.shape[1]
+
+        pending = None  # (chunk, hw, pad?, padded_h, device arrays)
+
+        def consume(chunk, hw, padded, padded_h, restored):
+            if isinstance(restored, tuple):
+                restored = restored[0]
+            out = np.asarray(restored)[:len(chunk)]  # blocks: host fetch
+            if padded:
+                s = out.shape[1] // padded_h  # 1 for inpaint/deblur, sf for SR
+                out = out[:, :hw[0] * s, :hw[1] * s]
+            for j, o in zip(chunk, out):
+                outs[j] = o
+
+        for chunk_no, (chunk, hw, ph, pw, pad_mode) in enumerate(chunks):
+            batch, padded_h = prep(chunk, ph, pw, pad_mode)
+            with self._lock:
+                restored = self.runner.restore_batch(
+                    batch, seed=seed + chunk_no, fetch=False)
+            if pending is not None:
+                consume(*pending)
+            pending = (chunk, hw, bool(ph or pw), padded_h, restored)
+        if pending is not None:
+            consume(*pending)
         return outs  # type: ignore[return-value]
 
     def _pad_kernel(self, k, hw: tuple[int, int]) -> np.ndarray:
@@ -273,7 +287,14 @@ class RestorationService:
                 continue
             group = [first]
             deadline = time.perf_counter() + self._max_wait
-            while len(group) < self.batch:
+            # drain up to FOUR service batches per round: restore() overlaps
+            # host prep/fetch with device compute across its chunks, so a
+            # multi-chunk call keeps the device busy end to end under load (a
+            # single-chunk call degenerates to dispatch -> fetch serially,
+            # and the inter-round fetch barrier amortizes over the chunks).
+            # Under light load the max_wait deadline fires first, so small
+            # groups still run immediately.
+            while len(group) < 4 * self.batch:
                 remain = deadline - time.perf_counter()
                 if remain <= 0:
                     break

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -209,10 +210,15 @@ def main(argv: Optional[list[str]] = None) -> None:
                     help="config override (repeatable)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: a cold 256px serving program can take
+    # minutes to compile through a remote-compile tunnel; cache it on disk
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     overrides = {}
     for kv in args.set:
         k, _, v = kv.partition("=")

@@ -121,6 +121,39 @@ def test_bad_requests_return_400(server):
     assert ei.value.code == 404
 
 
+def test_deblur_kernel_request():
+    """A deblur service accepts per-request PSF kernels over HTTP."""
+    cfg = load_config(None, overrides=dict(
+        task="deblur", model_name="tiny_test", iter_num=2, iter_num_U=1,
+        batch_size=2, noise_level_img=0.0, seed=0, dtype="float32",
+        save_E=False, save_L=False))
+    service = RestorationService(cfg, use_mesh=False, service_batch=2,
+                                 max_wait_ms=5.0)
+    httpd = start_server(service, port=0)
+    try:
+        host, port = httpd.server_address
+        url = f"http://{host}:{port}"
+        rng = np.random.default_rng(2)
+        img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+        k = np.zeros((5, 5), np.float32)
+        k[1:4, 1:4] = 1.0 / 9.0
+        buf = io.BytesIO()
+        np.savez(buf, image=img, kernel=k)
+        ctype, body = _post(url, buf.getvalue(), "application/x-npz")
+        with np.load(io.BytesIO(body)) as z:
+            out = z["restored"]
+        assert out.shape == (16, 16, 3) and np.isfinite(out).all()
+        # unnormalized PSF must be rejected before dispatch
+        buf = io.BytesIO()
+        np.savez(buf, image=img, kernel=k * 3.0)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url, buf.getvalue(), "application/x-npz")
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_stats_progress(server):
     url, _ = server
     with urllib.request.urlopen(url + "/stats", timeout=30) as r:
