@@ -125,6 +125,22 @@ def test_non_modulo_sizes_pad_and_crop(tiny_env):
         np.testing.assert_allclose(o[m > 0], img[m > 0], atol=1e-5)
 
 
+def test_sr_non_modulo_pad_and_crop(tiny_env):
+    """sf>1 output cropping after pad-to-modulo: a (h, w) LR observation is
+    padded for the UNet, restored at sf x the padded size, and cropped back
+    to exactly (h*sf, w*sf)."""
+    svc = RestorationService(
+        _cfg(tiny_env, task="sr", sf=2, sr_mode="blur", mask_prob_range=None),
+        use_mesh=False, service_batch=2)
+    rng = np.random.default_rng(7)
+    shapes = [(30, 26), (32, 32)]  # padded vs already-modulo
+    imgs = [rng.random(s + (3,)).astype(np.float32) for s in shapes]
+    outs = svc.restore(imgs)
+    assert [o.shape for o in outs] == [(60, 52, 3), (64, 64, 3)]
+    for o in outs:
+        assert np.isfinite(o).all()
+
+
 def test_kernel_padding_preserves_otf(tiny_env):
     """_pad_kernel keeps the PSF center at size//2, so the OTF (and hence the
     FFT prox) is bit-identical under padding — including the odd-size-delta
