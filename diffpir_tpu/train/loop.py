@@ -91,6 +91,7 @@ class Trainer:
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
         self.tx = tx
         self._step_fn = None
+        self._multi_step_fn = None
 
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array, sample_shape=(1, 64, 64, 3)) -> TrainState:
@@ -132,6 +133,30 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = jax.jit(self._train_step_impl, donate_argnums=(0,))
         return self._step_fn(state, batch, key)
+
+    def train_steps(self, state: TrainState, batches: jnp.ndarray,
+                    key: jax.Array):
+        """K optimization steps in ONE dispatch (``lax.scan`` over batches).
+
+        batches: (K, B, ...) — K per-step batches stacked on a leading axis.
+        Semantically identical to K sequential ``train_step`` calls with keys
+        ``fold_in(key, k)``; returns (state, metrics) with each metric stacked
+        to shape (K,).  Use when per-dispatch latency dominates step time
+        (small models, remote-dispatch tunnels: one launch amortizes over K
+        steps instead of paying the round-trip every step).
+        """
+        if self._multi_step_fn is None:
+            def scanned(state, batches, key):
+                def body(s, xs):
+                    b_k, k_idx = xs
+                    return self._train_step_impl(
+                        s, b_k, jax.random.fold_in(key, k_idx))
+
+                return jax.lax.scan(
+                    body, state, (batches, jnp.arange(batches.shape[0])))
+
+            self._multi_step_fn = jax.jit(scanned, donate_argnums=(0,))
+        return self._multi_step_fn(state, batches, key)
 
     def _train_step_impl(self, state: TrainState, batch: jnp.ndarray, key: jax.Array):
         cfg = self.cfg

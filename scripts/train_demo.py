@@ -60,6 +60,12 @@ def main():
                     help="pregenerate a fixed pool of N images and sample "
                          "batches from it (the per-step python generator is "
                          "host-bound on a 1-core box; 0 = generate per step)")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="K train steps per device dispatch "
+                         "(Trainer.train_steps lax.scan) — amortizes the "
+                         "per-dispatch latency that dominates small-model "
+                         "training through the remote tunnel; needs "
+                         "--dataset-size (batches are pre-stacked on host)")
     args = ap.parse_args()
 
     import jax
@@ -97,22 +103,37 @@ def main():
         print(f"pregenerated {args.dataset_size} images "
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
 
+    K = max(args.steps_per_call, 1)
+    if K > 1 and pool is None:
+        raise SystemExit("--steps-per-call needs --dataset-size "
+                         "(per-step python generation would starve the scan)")
+
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        if pool is not None:
-            batch = jnp.asarray(pool[rng.integers(0, len(pool), args.batch)])
+    i = 0
+    while i < args.steps:
+        if K > 1:
+            k_eff = min(K, args.steps - i)
+            stack = pool[rng.integers(0, len(pool), (k_eff, args.batch))]
+            state, m = trainer.train_steps(state, jnp.asarray(stack),
+                                           jax.random.PRNGKey(i))
+            m = {k: v[-1] for k, v in m.items()}
+            i += k_eff
         else:
-            batch = jnp.asarray(synth_batch(rng, args.batch, IMG))
-        state, m = trainer.train_step(state, batch, jax.random.PRNGKey(i))
-        if (i + 1) % 50 == 0:
+            if pool is not None:
+                batch = jnp.asarray(pool[rng.integers(0, len(pool), args.batch)])
+            else:
+                batch = jnp.asarray(synth_batch(rng, args.batch, IMG))
+            state, m = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+            i += 1
+        if i % 50 < K or i == args.steps:
             loss = float(m["loss"])  # forces sync
-            print(f"step {i+1}/{args.steps} loss {loss:.4f} "
-                  f"({(time.perf_counter()-t0)/(i+1)*1000:.0f} ms/step)",
+            print(f"step {i}/{args.steps} loss {loss:.4f} "
+                  f"({(time.perf_counter()-t0)/i*1000:.0f} ms/step)",
                   flush=True)
-        if (i + 1) % 250 == 0:
+        if i % 250 < K:
             os.makedirs(os.path.dirname(args.out), exist_ok=True)
             save_params_npz(jax.device_get(state["ema"][0]), args.out)
-            print(f"checkpointed at step {i+1}", flush=True)
+            print(f"checkpointed at step {i}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     ema = jax.device_get(state["ema"][0])
