@@ -107,14 +107,23 @@ def main():
     if K > 1 and pool is None:
         raise SystemExit("--steps-per-call needs --dataset-size "
                          "(per-step python generation would starve the scan)")
+    pool_dev = None
+    if K > 1:
+        # the whole pool lives on device; per call we ship only (K, B) int32
+        # indices and gather on device.  Streaming the stacked batches from
+        # host instead leaks ~batch-size bytes of transfer staging per call
+        # through the remote-dispatch tunnel (observed: 63 MB/call -> host
+        # OOM at 130 GB after 2100 calls) and wastes PCIe/DCN bandwidth.
+        pool_dev = jnp.asarray(pool)
 
     t0 = time.perf_counter()
     i = 0
     while i < args.steps:
         if K > 1:
             k_eff = min(K, args.steps - i)
-            stack = pool[rng.integers(0, len(pool), (k_eff, args.batch))]
-            state, m = trainer.train_steps(state, jnp.asarray(stack),
+            idx = jnp.asarray(
+                rng.integers(0, len(pool), (k_eff, args.batch)), jnp.int32)
+            state, m = trainer.train_steps(state, pool_dev[idx],
                                            jax.random.PRNGKey(i))
             m = {k: v[-1] for k, v in m.items()}
             i += k_eff
