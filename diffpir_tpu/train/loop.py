@@ -218,38 +218,59 @@ class Trainer:
     def fit(self, state: TrainState, data_iterator, *, steps: int,
             key: jax.Array, ckpt_dir: Optional[str] = None,
             save_interval: int = 10_000, log_interval: int = 100,
-            mesh: Optional[Mesh] = None) -> TrainState:
+            mesh: Optional[Mesh] = None, steps_per_call: int = 1) -> TrainState:
         """Run the training loop (reference ``TrainLoop.run_loop``,
         ``train_util.py:153-170``): step, periodic kv-logging and checkpoints.
 
         `data_iterator` yields (images NHWC in [-1,1], labels-or-None) numpy
         batches (see ``train.datasets.load_data``); under a mesh the batch is
         sharded over the 'data' axis before dispatch.
+
+        steps_per_call > 1 dispatches K steps per device launch via
+        ``train_steps`` (per-dispatch latency amortization for small models /
+        remote-dispatch backends); log/save intervals fire on crossing.
         """
         from diffpir_tpu.utils import kvlogger
 
         mesh = mesh or self.mesh
+        K = max(steps_per_call, 1)
         metric_buf: list = []
-        for i in range(steps):
-            batch_np, _labels = next(data_iterator)
-            batch = jnp.asarray(batch_np)
-            if mesh is not None:
-                batch = jax.device_put(
-                    batch, NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1)))))
-            state, metrics = self.train_step(state, batch,
-                                             jax.random.fold_in(key, i))
-            # keep metrics on device between log points — a per-step float()
-            # would force a device->host sync every step (the pathology the
-            # scanned sampler eliminates)
-            metric_buf.append(metrics)
-            if (i + 1) % log_interval == 0:
+
+        def shard(batch, lead_dims: int):
+            if mesh is None:
+                return batch
+            spec = P(*([None] * (lead_dims - 1)), "data",
+                     *([None] * (batch.ndim - lead_dims)))
+            return jax.device_put(batch, NamedSharding(mesh, spec))
+
+        i = 0
+        while i < steps:
+            k_eff = min(K, steps - i)
+            if k_eff == 1:
+                batch_np, _labels = next(data_iterator)
+                batch = shard(jnp.asarray(batch_np), 1)
+                state, metrics = self.train_step(state, batch,
+                                                 jax.random.fold_in(key, i))
+                # keep metrics on device between log points — a per-step
+                # float() would force a device->host sync every step (the
+                # pathology the scanned sampler eliminates)
+                metric_buf.append(metrics)
+            else:
+                stack = np.stack([next(data_iterator)[0]
+                                  for _ in range(k_eff)])
+                batch = shard(jnp.asarray(stack), 2)
+                state, m = self.train_steps(state, batch,
+                                            jax.random.fold_in(key, i))
+                metric_buf.append({k: v.mean() for k, v in m.items()})
+            prev, i = i, i + k_eff
+            if i // log_interval > prev // log_interval:
                 for m in metric_buf:
                     kvlogger.logkv_mean("loss", float(m["loss"]))
                     kvlogger.logkv_mean("grad_norm", float(m["grad_norm"]))
                 metric_buf.clear()
                 kvlogger.logkv("step", int(state["step"]))
                 kvlogger.dumpkvs()
-            if ckpt_dir and (i + 1) % save_interval == 0:
+            if ckpt_dir and i // save_interval > prev // save_interval:
                 self.save(state, ckpt_dir)
         if ckpt_dir:
             self.save(state, ckpt_dir)

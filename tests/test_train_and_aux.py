@@ -94,6 +94,29 @@ def test_microbatch_equals_full_batch_gradients():
     assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
 
 
+def test_fit_steps_per_call(tmp_path):
+    """fit() with steps_per_call>1 runs the scanned multi-step path, keeps
+    the global step count exact, and fires log points on crossing."""
+    from diffpir_tpu.utils import kvlogger
+
+    kvlogger.reset()
+    kvlogger.configure(str(tmp_path), ["csv"])
+    trainer = _trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    rng = np.random.default_rng(3)
+
+    def it():
+        while True:
+            yield rng.standard_normal((4, 16, 16, 3)).astype(np.float32), None
+
+    state = trainer.fit(state, it(), steps=7, key=jax.random.PRNGKey(1),
+                        log_interval=3, steps_per_call=3)
+    assert int(state["step"]) == 7
+    csv_path = tmp_path / "progress.csv"
+    assert csv_path.exists() and "loss" in csv_path.read_text()
+    kvlogger.reset()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer = _trainer()
     state = trainer.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
