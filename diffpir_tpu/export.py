@@ -195,6 +195,7 @@ class LoadedRestore:
     """
 
     def __init__(self, path: str):
+        self._path = path
         with open(os.path.join(path, _MANIFEST)) as f:
             self.manifest = json.load(f)
         with open(os.path.join(path, _PROGRAM), "rb") as f:
@@ -227,6 +228,21 @@ class LoadedRestore:
                  NamedSharding(mesh, P()))
         self._call = jax.jit(self._exported.call, in_shardings=in_sh)
 
+    def reload_params(self, path: Optional[str] = None) -> None:
+        """Re-read ``params.npz`` (checkpoint refresh without re-export).
+
+        ``path`` may point at another bundle directory or a bare npz whose
+        flat layout matches this bundle's program."""
+        p = os.path.join(path or self._path, _PARAMS)
+        if not os.path.exists(p) and path and path.endswith(".npz"):
+            p = path
+        with np.load(p) as z:
+            flat = [z[str(i)] for i in range(len(z.files))]
+        if len(flat) != len(self._params_flat) or any(
+                a.shape != b.shape for a, b in zip(flat, self._params_flat)):
+            raise ValueError("params layout does not match the exported program")
+        self._params_flat = flat
+
     def __call__(self, y: np.ndarray, kernel: Optional[np.ndarray] = None,
                  mask: Optional[np.ndarray] = None, seed: int = 0) -> np.ndarray:
         m = self.manifest
@@ -236,8 +252,11 @@ class LoadedRestore:
         if y.shape != (B, H, W, C):
             raise ValueError(f"y must be {(B, H, W, C)}, got {y.shape}")
         if kernel is None:
-            kernel = np.ones((B,) + tuple(m["kernel_hw"]), np.float32)
-            kernel /= kernel[0].size
+            # identity (delta) PSF — center at size//2 matches psf_to_otf's
+            # roll convention, so the default is a no-op blur, not a box blur
+            kh, kw = m["kernel_hw"]
+            kernel = np.zeros((B, kh, kw), np.float32)
+            kernel[:, kh // 2, kw // 2] = 1.0
         if mask is None:
             mask = np.ones((B, H * sf, W * sf, C), np.float32)
         key_data = np.asarray(jax.random.PRNGKey(seed), np.uint32)

@@ -92,3 +92,30 @@ def test_bundle_manifest_and_validation(tmp_path):
     # defaults: identity mask/kernel — runs end to end
     out = loaded(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
     assert np.isfinite(out).all()
+
+
+def test_reload_params_refreshes_checkpoint(tmp_path):
+    """Swapping params.npz changes the output without re-exporting."""
+    rng = np.random.default_rng(4)
+    runner = Runner(_cfg("inpaint"), use_mesh=False)
+    path = save_bundle(runner, str(tmp_path / "b"), batch=2, height=32,
+                       width=32, platforms=("cpu",))
+    loaded = load_bundle(path)
+    batch = _batch("inpaint", rng)
+    out1 = loaded(batch.img_L, mask=batch.mask, seed=1)
+
+    # a differently-initialized runner -> different params, same program
+    runner2 = Runner(_cfg("inpaint", seed=1), use_mesh=False)
+    import jax as _jax
+    # additive perturbation: the fixture UNet's zero-init output conv makes
+    # multiplicative tweaks invisible (0 * c == 0)
+    runner2.params = _jax.tree_util.tree_map(lambda p: p + 0.01, runner2.params)
+    path2 = save_bundle(runner2, str(tmp_path / "b2"), batch=2, height=32,
+                        width=32, platforms=("cpu",))
+    loaded.reload_params(path2)
+    out2 = loaded(batch.img_L, mask=batch.mask, seed=1)
+    assert np.abs(out1 - out2).max() > 0
+    with pytest.raises(ValueError, match="layout"):
+        bad = str(tmp_path / "bad.npz")
+        np.savez(bad, **{"0": np.zeros((3, 3), np.float32)})
+        loaded.reload_params(bad)
