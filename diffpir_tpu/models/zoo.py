@@ -40,14 +40,27 @@ TINY_TEST_CONFIG = UNetConfig(
     num_head_channels=16, dropout=0.0,
 )
 
+# Wider demo prior (~26M params): the 6M tiny config saturates around 42 dB
+# on the synthetic demo tasks; this is the next rung of the quality ladder,
+# still trainable on one chip in tens of minutes via Trainer.train_steps.
+DEMO_HQ_CONFIG = UNetConfig(
+    image_size=64, model_channels=128, out_channels=6, num_res_blocks=2,
+    attention_resolutions=(8,), channel_mult=(1, 2, 2), num_heads=4,
+    num_head_channels=32, dropout=0.0,
+)
+
+_DEMO_CONFIGS = {"demo64_hq": DEMO_HQ_CONFIG}
+
 
 def model_config_for(model_name: str) -> UNetConfig:
     if model_name in MODEL_ZOO_CONFIGS:
         return MODEL_ZOO_CONFIGS[model_name]
+    if model_name in _DEMO_CONFIGS:
+        return _DEMO_CONFIGS[model_name]
     if model_name.startswith("tiny"):
         return TINY_TEST_CONFIG
     raise KeyError(f"unknown model {model_name!r}; known: "
-                   f"{sorted(MODEL_ZOO_CONFIGS) + ['tiny*']}")
+                   f"{sorted(MODEL_ZOO_CONFIGS) + sorted(_DEMO_CONFIGS) + ['tiny*']}")
 
 
 def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:

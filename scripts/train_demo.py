@@ -60,6 +60,8 @@ def main():
                     help="pregenerate a fixed pool of N images and sample "
                          "batches from it (the per-step python generator is "
                          "host-bound on a 1-core box; 0 = generate per step)")
+    ap.add_argument("--arch", choices=("tiny", "hq"), default="tiny",
+                    help="tiny = 6M TINY_TEST_CONFIG, hq = 26M DEMO_HQ_CONFIG")
     ap.add_argument("--steps-per-call", type=int, default=1,
                     help="K train steps per device dispatch "
                          "(Trainer.train_steps lax.scan) — amortizes the "
@@ -79,13 +81,15 @@ def main():
 
     from diffpir_tpu.diffusion import Diffusion, ModelMeanType, ModelVarType
     from diffpir_tpu.models.unet import UNet
-    from diffpir_tpu.models.zoo import TINY_TEST_CONFIG, save_params_npz
+    from diffpir_tpu.models.zoo import (DEMO_HQ_CONFIG, TINY_TEST_CONFIG,
+                                        save_params_npz)
     from diffpir_tpu.schedule import NoiseSchedule
     from diffpir_tpu.train.loop import TrainConfig, Trainer
 
     IMG = args.image_size
     dtype = jnp.float32 if args.cpu else jnp.bfloat16
-    model = UNet(TINY_TEST_CONFIG, dtype=dtype)
+    arch = TINY_TEST_CONFIG if args.arch == "tiny" else DEMO_HQ_CONFIG
+    model = UNet(arch, dtype=dtype)
     sched = NoiseSchedule.linear(0.0001, 0.02, T)
     diff = Diffusion(sched, ModelMeanType.EPSILON, ModelVarType.LEARNED_RANGE)
     tcfg = TrainConfig(lr=args.lr, ema_rates=(0.999,),

@@ -328,6 +328,16 @@ def test_tensorboard_writer_roundtrip(tmp_path):
     assert scalars(ev2[5]) == {"loss": 0.25}
 
 
+def test_zoo_demo_config_resolution():
+    from diffpir_tpu.models.zoo import (DEMO_HQ_CONFIG, TINY_TEST_CONFIG,
+                                        model_config_for)
+
+    assert model_config_for("demo64_hq") is DEMO_HQ_CONFIG
+    assert model_config_for("tiny_demo64") is TINY_TEST_CONFIG
+    with pytest.raises(KeyError):
+        model_config_for("nope")
+
+
 def test_zoo_cache_invalidated_by_newer_checkpoint(tmp_path):
     """A freshly arrived .pt must win over a stale converted-npz cache."""
     import os
