@@ -90,8 +90,17 @@ def save_params_npz(params: Dict[str, Any], path: str) -> None:
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:
+    """Load a flat params npz; sub-fp32 float storage is upcast to fp32
+    (assets may be stored fp16 for size — measured lossless on the demo
+    priors — but the fp32 parity paths expect fp32 parameter dtypes)."""
     with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        flat = {}
+        for k in z.files:
+            v = z[k]
+            if v.dtype.kind == "f" and v.dtype.itemsize < 4:
+                v = v.astype(np.float32)
+            flat[k] = v
+        return _unflatten(flat)
 
 
 def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,

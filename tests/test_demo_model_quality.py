@@ -101,9 +101,9 @@ def test_deblur_quality_gain(setup):
 def test_demo64_prior_quality():
     """The TPU-trained 64px prior (bf16 training) restores held-out 64px
     synthetics through the full runner path; skipped until the asset exists."""
-    demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
+    demo64 = os.path.join(os.path.dirname(DEMO), "demo64_hq.flax.npz")
     if not os.path.exists(demo64):
-        pytest.skip("tiny_demo64 not trained yet")
+        pytest.skip("demo64_hq not trained yet")
     from diffpir_tpu.config import load_config
     from diffpir_tpu.runner import Runner
 
@@ -111,17 +111,17 @@ def test_demo64_prior_quality():
     cfg = load_config(os.path.join(repo, "configs", "demo64_inpaint.yaml"),
                       dict(cwd=repo, save_E=False, save_L=False))
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
-    # degraded input (50% pixels) sits near ~8-10 dB; measured 41.0 dB /
-    # 0.985 at the shipped 50-NFE config — thresholds leave slack
-    assert res["psnr"] > 37.0, res
-    assert res["ssim"] > 0.95, res
+    # degraded input (50% pixels) sits near ~8-10 dB; measured 45.4 dB /
+    # 0.989 with the 29M demo64_hq prior at the shipped 50-NFE config
+    assert res["psnr"] > 42.0, res
+    assert res["ssim"] > 0.98, res
 
 
 def test_demo64_deblur_quality():
     """Noise-free motion deblur (Levin09 kernel) with the TPU-trained prior."""
-    demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
+    demo64 = os.path.join(os.path.dirname(DEMO), "demo64_hq.flax.npz")
     if not os.path.exists(demo64):
-        pytest.skip("tiny_demo64 not trained yet")
+        pytest.skip("demo64_hq not trained yet")
     from diffpir_tpu.config import load_config
     from diffpir_tpu.runner import Runner
 
@@ -129,19 +129,17 @@ def test_demo64_deblur_quality():
     cfg = load_config(os.path.join(repo, "configs", "demo64_deblur.yaml"),
                       dict(cwd=repo, save_E=False, save_L=False))
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
-    # measured 41.8 dB / 0.970 at the swept (lambda=150, zeta=1.0) defaults
-    assert res["psnr"] > 37.0, res
-    assert res["ssim"] > 0.9, res
+    # measured 43.1 dB / 0.973 with demo64_hq at (lambda=150, zeta=1.0)
+    assert res["psnr"] > 40.0, res
+    assert res["ssim"] > 0.95, res
 
 
 def test_demo64_sr_quality():
     """x2 super-resolution (blur + downsample observation) with the
-    TPU-trained prior — covers the third task family end to end
-    (measured 40.0 dB / 0.977 SSIM at the swept defaults; thresholds
-    leave slack)."""
-    demo64 = os.path.join(os.path.dirname(DEMO), "tiny_demo64.flax.npz")
+    TPU-trained prior — covers the third task family end to end."""
+    demo64 = os.path.join(os.path.dirname(DEMO), "demo64_hq.flax.npz")
     if not os.path.exists(demo64):
-        pytest.skip("tiny_demo64 not trained yet")
+        pytest.skip("demo64_hq not trained yet")
     from diffpir_tpu.config import load_config
     from diffpir_tpu.runner import Runner
 
@@ -149,5 +147,6 @@ def test_demo64_sr_quality():
     cfg = load_config(os.path.join(repo, "configs", "demo64_sisr.yaml"),
                       dict(cwd=repo, save_E=False, save_L=False))
     res = Runner(cfg, use_mesh=False).evaluate(save=False)
-    assert res["psnr"] > 36.0, res
-    assert res["ssim"] > 0.92, res
+    # measured 42.6 dB / 0.981 with demo64_hq
+    assert res["psnr"] > 39.0, res
+    assert res["ssim"] > 0.96, res
