@@ -45,7 +45,7 @@ def main():
     from diffpir_tpu.sampler import diffpir_sample, make_denoiser, make_inpaint_prox
     from diffpir_tpu.schedule import NoiseSchedule, build_plan
 
-    module, params = resolve_model(MODEL, "model_zoo", dtype=jnp.bfloat16)
+    module, params, _prov = resolve_model(MODEL, "model_zoo", dtype=jnp.bfloat16)
     sched = NoiseSchedule.linear(0.0001, 0.02, 1000)
     plan = build_plan(sched, iter_num=NFE, skip_type="quad", lambda_=1.0,
                       eta=0.0, sigma_y=0.001)

@@ -101,7 +101,8 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
                    kernel_hw: tuple[int, int] = (1, 1),
                    lambda_: Optional[float] = None,
                    zeta: Optional[float] = None,
-                   platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+                   platforms: Sequence[str] = ("tpu", "cpu"),
+                   allow_random_weights: bool = False) -> bytes:
     """Serialize the compiled whole-batch restore program to bytes.
 
     The exported calling convention is
@@ -109,6 +110,14 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
     ``key_data`` the raw ``(2,)`` uint32 PRNGKey array.
     """
     cfg = runner.cfg
+    if (getattr(runner, "weights_provenance", "random") == "random"
+            and not allow_random_weights):
+        # a shipped AOT bundle over the zoo's random-init fallback would
+        # silently serve garbage forever; refuse unless explicitly a fixture
+        raise RuntimeError(
+            f"no trained weights found for model {cfg.model_name!r} — "
+            f"refusing to export a random-weight bundle (pass "
+            f"allow_random_weights=True for test fixtures)")
     lambda_ = cfg.lambda_ if lambda_ is None else lambda_
     zeta = cfg.zeta if zeta is None else zeta
     plan = runner._plan(lambda_, zeta)
@@ -157,7 +166,8 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
 def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
                 width: int, kernel_hw: tuple[int, int] = (1, 1),
                 lambda_: Optional[float] = None, zeta: Optional[float] = None,
-                platforms: Sequence[str] = ("tpu", "cpu")) -> str:
+                platforms: Sequence[str] = ("tpu", "cpu"),
+                allow_random_weights: bool = False) -> str:
     """Write a self-contained serving artifact directory.
 
     Contents: the serialized program, the parameters (flat npz, fp32/bf16 as
@@ -166,7 +176,8 @@ def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
     os.makedirs(path, exist_ok=True)
     blob = export_restore(runner, batch=batch, height=height, width=width,
                           kernel_hw=kernel_hw, lambda_=lambda_, zeta=zeta,
-                          platforms=platforms)
+                          platforms=platforms,
+                          allow_random_weights=allow_random_weights)
     with open(os.path.join(path, _PROGRAM), "wb") as f:
         f.write(blob)
 
@@ -293,6 +304,9 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--allow-random-weights", action="store_true",
+                    help="permit exporting without a trained checkpoint "
+                         "(test fixtures only)")
     args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -312,7 +326,8 @@ def main(argv: Optional[list] = None) -> None:
     path = save_bundle(runner, args.out, batch=args.batch or cfg.batch_size,
                        height=args.hw[0], width=args.hw[1],
                        kernel_hw=tuple(args.kernel),
-                       platforms=tuple(args.platforms))
+                       platforms=tuple(args.platforms),
+                       allow_random_weights=args.allow_random_weights)
     size = os.path.getsize(os.path.join(path, _PROGRAM))
     print(f"wrote {path} (program {size / 1e6:.2f} MB, "
           f"platforms {args.platforms})")

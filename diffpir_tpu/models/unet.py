@@ -283,6 +283,14 @@ class UNetConfig:
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     conv_resample: bool = True
+    # Gradient rematerialization per Res/Attention block (reference
+    # ``use_checkpoint``, ``guided_diffusion/unet.py:154-162`` /
+    # ``nn.py:124-170`` custom checkpoint Function).  TPU form: flax
+    # ``nn.remat`` == ``jax.checkpoint`` around each block — activations
+    # inside a block are recomputed during backward instead of stored,
+    # trading ~1 extra forward for O(depth) less HBM.  Needed to train the
+    # 553M imagenet flagship on a single 16 GB v5e chip.
+    use_remat: bool = False
 
     def heads_for(self, ch: int) -> int:
         if self.num_head_channels == -1:
@@ -331,6 +339,11 @@ class UNet(nn.Module):
         cfg = self.cfg
         assert (y is not None) == (cfg.num_classes is not None)
         time_dim = cfg.model_channels * 4
+        # per-block rematerialization (see UNetConfig.use_remat); wrapping the
+        # classes keeps flax param names identical, so checkpoints and the
+        # .pt converter are remat-agnostic
+        Res = nn.remat(ResBlock) if cfg.use_remat else ResBlock
+        Attn = nn.remat(AttentionBlock) if cfg.use_remat else AttentionBlock
 
         emb = timestep_embedding(t, cfg.model_channels)
         emb = _dense(time_dim, name="time_embed_0", dtype=self.dtype)(emb)
@@ -340,7 +353,7 @@ class UNet(nn.Module):
                                  param_dtype=jnp.float32, dtype=self.dtype)(y)
 
         def res(i, j, ch, **kw):
-            return ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+            return Res(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                             dropout=cfg.dropout, dtype=self.dtype,
                             use_pallas=self.use_pallas_gn,
                             name=f"input_blocks_{i}_{j}" if isinstance(i, int) else f"{i}_{j}",
@@ -359,7 +372,7 @@ class UNet(nn.Module):
                 ch = int(mult * cfg.model_channels)
                 h = res(block_idx, 0, ch)(h, emb, deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
-                    h = AttentionBlock(cfg.heads_for(ch), dtype=self.dtype,
+                    h = Attn(cfg.heads_for(ch), dtype=self.dtype,
                                        use_pallas=self.use_pallas,
                                        name=f"input_blocks_{block_idx}_1")(h)
                 hs.append(h)
@@ -374,13 +387,13 @@ class UNet(nn.Module):
                 ds *= 2
                 block_idx += 1
 
-        h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+        h = Res(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
                      use_pallas=self.use_pallas_gn,
                      name="middle_block_0")(h, emb, deterministic=deterministic)
-        h = AttentionBlock(cfg.heads_for(ch), dtype=self.dtype,
+        h = Attn(cfg.heads_for(ch), dtype=self.dtype,
                            use_pallas=self.use_pallas, name="middle_block_1")(h)
-        h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+        h = Res(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
                      use_pallas=self.use_pallas_gn,
                      name="middle_block_2")(h, emb, deterministic=deterministic)
@@ -390,20 +403,20 @@ class UNet(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 ch = int(cfg.model_channels * mult)
-                h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                h = Res(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                              dropout=cfg.dropout, dtype=self.dtype,
                              use_pallas=self.use_pallas_gn,
                              name=f"output_blocks_{block_idx}_0")(h, emb,
                                                                   deterministic=deterministic)
                 j = 1
                 if ds in cfg.attention_resolutions:
-                    h = AttentionBlock(cfg.heads_for(ch), dtype=self.dtype,
+                    h = Attn(cfg.heads_for(ch), dtype=self.dtype,
                                        use_pallas=self.use_pallas,
                                        name=f"output_blocks_{block_idx}_1")(h)
                     j = 2
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
-                        h = ResBlock(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                        h = Res(ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                                      dropout=cfg.dropout, dtype=self.dtype, up=True,
                                      use_pallas=self.use_pallas_gn,
                                      name=f"output_blocks_{block_idx}_{j}")(

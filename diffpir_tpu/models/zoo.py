@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 from diffpir_tpu.models.unet import MODEL_ZOO_CONFIGS, UNet, UNetConfig
 
 __all__ = ["resolve_model", "create_model_and_diffusion", "TINY_TEST_CONFIG",
-           "save_params_npz", "load_params_npz"]
+           "save_params_npz", "load_params_npz", "ResolvedModel"]
 
 log = logging.getLogger(__name__)
 
@@ -40,7 +40,7 @@ TINY_TEST_CONFIG = UNetConfig(
     num_head_channels=16, dropout=0.0,
 )
 
-# Wider demo prior (~26M params): the 6M tiny config saturates around 42 dB
+# Wider demo prior (~29M params): the 6M tiny config saturates around 42 dB
 # on the synthetic demo tasks; this is the next rung of the quality ladder,
 # still trainable on one chip in tens of minutes via Trainer.train_steps.
 DEMO_HQ_CONFIG = UNetConfig(
@@ -49,7 +49,20 @@ DEMO_HQ_CONFIG = UNetConfig(
     num_head_channels=32, dropout=0.0,
 )
 
-_DEMO_CONFIGS = {"demo64_hq": DEMO_HQ_CONFIG}
+# 256-px demo prior (~54M params) at the reference's operating point: the
+# REAL flagship topology — 6-level channel_mult, attention at ds16 (16² = 256
+# tokens) plus the ds32 middle block, num_head_channels=64 — at 3/4 of the
+# ffhq flagship width (96 vs 128 channels; `main_ddpir.py:219-224` ffhq
+# config).  Every activation SHAPE family of the 95M flagship occurs here, so
+# 256-px restorations with a trained prior exercise the exact compute path
+# the published checkpoints would use.
+DEMO256_CONFIG = UNetConfig(
+    image_size=256, model_channels=96, out_channels=6, num_res_blocks=1,
+    attention_resolutions=(16,), channel_mult=(1, 1, 2, 2, 4, 4), num_heads=4,
+    num_head_channels=64, dropout=0.0,
+)
+
+_DEMO_CONFIGS = {"demo64_hq": DEMO_HQ_CONFIG, "demo256": DEMO256_CONFIG}
 
 
 def model_config_for(model_name: str) -> UNetConfig:
@@ -103,10 +116,31 @@ def load_params_npz(path: str) -> Dict[str, Any]:
         return _unflatten(flat)
 
 
+class ResolvedModel(NamedTuple):
+    """(module, params) + where the weights came from.
+
+    provenance is one of:
+      "cache"      — converted-weights npz cache in the model zoo
+      "checkpoint" — torch .pt converted on the fly
+      "demo"       — bundled repo-trained demo prior (real trained weights)
+      "random"     — fallback random init (test fixtures only; serving and
+                     export refuse this unless explicitly allowed)
+    """
+
+    module: UNet
+    params: Dict[str, Any]
+    provenance: str
+
+
 def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
                   dtype=jnp.float32, use_pallas: bool = False,
-                  init_seed: int = 0) -> Tuple[UNet, Dict[str, Any]]:
-    """Return (module, params) for `model_name`."""
+                  init_seed: int = 0) -> ResolvedModel:
+    """Return ResolvedModel(module, params, provenance) for `model_name`.
+
+    (NamedTuple: destructuring as ``module, params, _`` — or indexing — keeps
+    working; callers that must not run on random weights check
+    ``.provenance == "random"``.)
+    """
     cfg = model_config_for(model_name)
     module = UNet(cfg, dtype=dtype, use_pallas=use_pallas)
 
@@ -117,7 +151,7 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
     if os.path.exists(npz_path) and not (
             os.path.exists(pt_path)
             and os.path.getmtime(pt_path) > os.path.getmtime(npz_path)):
-        return module, load_params_npz(npz_path)
+        return ResolvedModel(module, load_params_npz(npz_path), "cache")
     if os.path.exists(pt_path):
         from diffpir_tpu.models.convert import load_torch_checkpoint
 
@@ -127,13 +161,13 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
             save_params_npz(params, npz_path)
         except OSError:
             log.warning("could not cache converted weights at %s", npz_path)
-        return module, params
+        return ResolvedModel(module, params, "checkpoint")
 
     demo_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "assets", "demo",
         f"{model_name}.flax.npz")
     if os.path.exists(demo_path):
-        return module, load_params_npz(demo_path)
+        return ResolvedModel(module, load_params_npz(demo_path), "demo")
 
     log.warning(
         "no checkpoint for %r under %s — using RANDOM weights (test fixtures "
@@ -142,7 +176,7 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
                        jnp.float32)
     params = module.init(jax.random.PRNGKey(init_seed), sample,
                          jnp.zeros((1,), jnp.int32))["params"]
-    return module, params
+    return ResolvedModel(module, params, "random")
 
 
 def create_model_and_diffusion(model_name: str, model_zoo: str = "model_zoo", *,
@@ -160,8 +194,8 @@ def create_model_and_diffusion(model_name: str, model_zoo: str = "model_zoo", *,
     from diffpir_tpu.diffusion import Diffusion, ModelMeanType, ModelVarType
     from diffpir_tpu.schedule import NoiseSchedule, space_timesteps
 
-    module, params = resolve_model(model_name, model_zoo, dtype=dtype,
-                                   use_pallas=use_pallas)
+    module, params, _prov = resolve_model(model_name, model_zoo, dtype=dtype,
+                                          use_pallas=use_pallas)
     sched = NoiseSchedule.named(noise_schedule, num_timesteps)
     timestep_map = None
     if timestep_respacing:

@@ -125,7 +125,7 @@ class Runner:
                 float(np.sqrt(1 - self.schedule.alphas_cumprod[t_y])))
 
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        self.module, params = resolve_model(
+        self.module, params, self.weights_provenance = resolve_model(
             cfg.model_name, cfg.model_zoo, dtype=dtype, use_pallas=cfg.use_pallas)
 
         self.mesh = None

@@ -57,9 +57,22 @@ class RestorationService:
     def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True,
                  service_batch: Optional[int] = None,
                  max_wait_ms: float = 20.0,
-                 kernel_size: Optional[int] = None):
+                 kernel_size: Optional[int] = None,
+                 allow_random_weights: bool = False):
         self.cfg = cfg
         self.runner = Runner(cfg, use_mesh=use_mesh)
+        if (self.runner.weights_provenance == "random"
+                and not allow_random_weights):
+            # a serving endpoint over random weights is a silent-garbage
+            # failure mode (the zoo fallback logs one warning and moves on);
+            # production callers must opt in explicitly.  The torch reference
+            # "protects" against this only because torch.load crashes on a
+            # missing file (main_ddpir.py:234).
+            raise RuntimeError(
+                f"no trained weights found for model "
+                f"{cfg.model_name!r} (zoo: {cfg.model_zoo!r}) — refusing to "
+                f"serve random-weight restorations. Pass "
+                f"allow_random_weights=True for test fixtures.")
         self.batch = service_batch or cfg.batch_size
         # deepest downsample factor of the bound model's topology
         self._pad_mod = 2 ** (len(self.runner.module.cfg.channel_mult) - 1)
@@ -145,7 +158,7 @@ class RestorationService:
         # flat chunk list so the loop below can double-buffer across chunks
         # (and across shape groups): host prep of chunk c+1 and the fetch of
         # chunk c both happen while the device computes chunk c.
-        chunks: list[tuple[list[int], int, int, int, str]] = []
+        chunks: list[tuple[list[int], tuple[int, int], int, int, str]] = []
         for shape, idx_group in by_shape.items():
             h, w = shape[:2]
             # pad to the UNet's deepest downsample factor (skip-connection
@@ -336,7 +349,8 @@ class RestorationService:
 
 
 def serve_folder(cfg: TaskConfig, in_dir: str, out_dir: str, *,
-                 use_mesh: bool = True, seed: int = 0) -> dict:
+                 use_mesh: bool = True, seed: int = 0,
+                 allow_random_weights: bool = False) -> dict:
     """Restore every image under `in_dir` into `out_dir` (degraded inputs in,
     restored outputs out — masks/kernels come from the task config pipeline).
 
@@ -346,6 +360,11 @@ def serve_folder(cfg: TaskConfig, in_dir: str, out_dir: str, *,
 
     cfg = dataclasses.replace(cfg) if not isinstance(cfg, TaskConfig) else cfg
     runner = Runner(cfg, use_mesh=use_mesh)
+    if runner.weights_provenance == "random" and not allow_random_weights:
+        raise RuntimeError(
+            f"no trained weights found for model {cfg.model_name!r} — "
+            f"refusing to serve random-weight restorations (pass "
+            f"allow_random_weights=True for test fixtures)")
     paths = im.list_images(in_dir)
     if not paths:
         raise FileNotFoundError(f"no images under {in_dir!r}")

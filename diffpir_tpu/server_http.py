@@ -98,8 +98,15 @@ def _png_bytes(img01: np.ndarray) -> bytes:
 
 
 def make_handler(service: RestorationService, stats: _Stats,
-                 timeout_s: float = 600.0):
-    """Build the request-handler class bound to one service instance."""
+                 timeout_s: float = 600.0,
+                 max_body_bytes: int = 256 * 1024 * 1024):
+    """Build the request-handler class bound to one service instance.
+
+    max_body_bytes caps request bodies (413 before reading): Content-Length
+    is attacker-controlled and ThreadingHTTPServer spawns a thread per
+    connection, so unbounded reads let a few large concurrent POSTs exhaust
+    host memory.  256 MB default fits any plausible single-image npz
+    (a 4096x4096 fp32 RGB image + mask is ~400 MB only at absurd sizes)."""
 
     manifest = dict(
         status="ok", task=service.cfg.task, model=service.cfg.model_name,
@@ -138,6 +145,12 @@ def make_handler(service: RestorationService, stats: _Stats,
             t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > max_body_bytes:
+                    stats.error()
+                    self._send_json(413, {
+                        "error": f"request body {length} bytes exceeds cap "
+                                 f"{max_body_bytes}"})
+                    return
                 body = self.rfile.read(length)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 as_png = ctype == "image/png"
@@ -172,16 +185,20 @@ def make_handler(service: RestorationService, stats: _Stats,
 def start_server(service: RestorationService, port: int = 8000,
                  host: str = "127.0.0.1",
                  warmup_hw: Optional[tuple[int, int]] = None,
-                 block: bool = False) -> ThreadingHTTPServer:
+                 block: bool = False,
+                 max_body_bytes: int = 256 * 1024 * 1024) -> ThreadingHTTPServer:
     """Serve the bound service over HTTP.
 
     ``block=False`` runs the accept loop in a daemon thread and returns the
     server (tests / embedding); ``.server_address`` has the bound port when
     ``port=0``.  ``warmup_hw`` pre-compiles the program for one input size so
-    the first request doesn't pay compilation latency.
+    the first request doesn't pay compilation latency.  ``max_body_bytes``
+    rejects oversized request bodies with 413 before reading them.
     """
     stats = _Stats()
-    httpd = ThreadingHTTPServer((host, port), make_handler(service, stats))
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(service, stats,
+                                   max_body_bytes=max_body_bytes))
     httpd.daemon_threads = True
     if warmup_hw is not None:
         service.warmup(warmup_hw)
@@ -209,6 +226,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="config override (repeatable)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--allow-random-weights", action="store_true",
+                    help="permit serving without a trained checkpoint "
+                         "(test fixtures only)")
     args = ap.parse_args(argv)
     import jax
 
@@ -228,7 +248,8 @@ def main(argv: Optional[list[str]] = None) -> None:
             pass
         overrides[k] = v
     cfg = load_config(args.opt, overrides=overrides)
-    service = RestorationService(cfg)
+    service = RestorationService(
+        cfg, allow_random_weights=args.allow_random_weights)
     print(f"serving {cfg.task}/{cfg.model_name} on {args.host}:{args.port}")
     start_server(service, args.port, host=args.host,
                  warmup_hw=tuple(args.warmup) if args.warmup else None,

@@ -92,6 +92,7 @@ class Trainer:
         self.tx = tx
         self._step_fn = None
         self._multi_step_fn = None
+        self._pool_step_fn = None
 
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array, sample_shape=(1, 64, 64, 3)) -> TrainState:
@@ -158,6 +159,33 @@ class Trainer:
             self._multi_step_fn = jax.jit(scanned, donate_argnums=(0,))
         return self._multi_step_fn(state, batches, key)
 
+    def train_steps_from_pool(self, state: TrainState, pool: jnp.ndarray,
+                              idx: jnp.ndarray, key: jax.Array):
+        """K steps in ONE dispatch, batches gathered from a device-resident pool.
+
+        pool: (N, ...) images living on device; idx: (K, B) int32 sample
+        indices.  Equivalent to ``train_steps(state, pool[idx], key)`` but the
+        gather happens INSIDE the compiled program, so per call only K*B int32
+        indices cross the host->device boundary.  This matters on remote
+        dispatch backends: each host->device transfer leaks staging memory in
+        the tunnel (~transferred bytes, never freed — streaming 63 MB stacked
+        batch tensors per call OOM-killed a training run at 130 GB host RSS),
+        and on any backend it saves the batch-stack host bandwidth.
+        """
+        if self._pool_step_fn is None:
+            def scanned(state, pool, idx, key):
+                def body(s, xs):
+                    i_k, k_idx = xs
+                    return self._train_step_impl(
+                        s, jnp.take(pool, i_k, axis=0),
+                        jax.random.fold_in(key, k_idx))
+
+                return jax.lax.scan(
+                    body, state, (idx, jnp.arange(idx.shape[0])))
+
+            self._pool_step_fn = jax.jit(scanned, donate_argnums=(0,))
+        return self._pool_step_fn(state, pool, idx, key)
+
     def _train_step_impl(self, state: TrainState, batch: jnp.ndarray, key: jax.Array):
         cfg = self.cfg
         B = batch.shape[0]
@@ -215,26 +243,55 @@ class Trainer:
         return new_state, metrics
 
     # ------------------------------------------------------------------
-    def fit(self, state: TrainState, data_iterator, *, steps: int,
-            key: jax.Array, ckpt_dir: Optional[str] = None,
+    def fit(self, state: TrainState, data_iterator=None, *, steps: int,
+            key: jax.Array, pool: Optional[Any] = None,
+            batch_size: Optional[int] = None, pool_seed: int = 0,
+            ckpt_dir: Optional[str] = None,
+            save_fn: Optional[Callable[[TrainState], None]] = None,
             save_interval: int = 10_000, log_interval: int = 100,
             mesh: Optional[Mesh] = None, steps_per_call: int = 1) -> TrainState:
         """Run the training loop (reference ``TrainLoop.run_loop``,
         ``train_util.py:153-170``): step, periodic kv-logging and checkpoints.
 
-        `data_iterator` yields (images NHWC in [-1,1], labels-or-None) numpy
-        batches (see ``train.datasets.load_data``); under a mesh the batch is
-        sharded over the 'data' axis before dispatch.
+        Data comes from exactly one of:
+          * `data_iterator` — yields (images NHWC in [-1,1], labels-or-None)
+            numpy batches (see ``train.datasets.load_data``); under a mesh the
+            batch is sharded over the 'data' axis before dispatch.
+          * `pool` + `batch_size` — a fixed (N, H, W, C) dataset placed on
+            device ONCE; per dispatch only int32 sample indices cross the
+            host->device boundary and batches are gathered inside the compiled
+            program (``train_steps_from_pool``).  Use this on remote-dispatch
+            backends where per-call host->device transfers leak staging memory
+            and for any dataset that fits in HBM.  Sampling is uniform with
+            replacement from a host RNG seeded by `pool_seed`.
 
         steps_per_call > 1 dispatches K steps per device launch via
-        ``train_steps`` (per-dispatch latency amortization for small models /
-        remote-dispatch backends); log/save intervals fire on crossing.
+        ``train_steps`` / ``train_steps_from_pool`` (per-dispatch latency
+        amortization); log/save intervals fire on crossing.
+
+        Checkpointing: `ckpt_dir` writes orbax checkpoints (resume-compatible);
+        `save_fn(state)` is an additional hook fired on the same schedule (e.g.
+        to export EMA params as npz for the model zoo).
         """
         from diffpir_tpu.utils import kvlogger
 
         mesh = mesh or self.mesh
         K = max(steps_per_call, 1)
         metric_buf: list = []
+
+        if (pool is None) == (data_iterator is None):
+            raise ValueError("fit() needs exactly one of data_iterator / pool")
+        if pool is not None:
+            if not batch_size:
+                raise ValueError("fit(pool=...) requires batch_size")
+            if mesh is None:
+                pool = jnp.asarray(pool)
+            else:
+                # replicated pool: the in-program gather then produces a batch
+                # XLA can reshard along 'data' for the step without collectives
+                pool = jax.device_put(np.asarray(pool),
+                                      NamedSharding(mesh, P()))
+            pool_rng = np.random.default_rng(pool_seed)
 
         def shard(batch, lead_dims: int):
             if mesh is None:
@@ -244,9 +301,16 @@ class Trainer:
             return jax.device_put(batch, NamedSharding(mesh, spec))
 
         i = 0
+        saved_at = -1
         while i < steps:
             k_eff = min(K, steps - i)
-            if k_eff == 1:
+            if pool is not None:
+                idx = jnp.asarray(pool_rng.integers(
+                    0, pool.shape[0], (k_eff, batch_size)), jnp.int32)
+                state, m = self.train_steps_from_pool(
+                    state, pool, idx, jax.random.fold_in(key, i))
+                metric_buf.append({k: v.mean() for k, v in m.items()})
+            elif k_eff == 1:
                 batch_np, _labels = next(data_iterator)
                 batch = shard(jnp.asarray(batch_np), 1)
                 state, metrics = self.train_step(state, batch,
@@ -270,10 +334,17 @@ class Trainer:
                 metric_buf.clear()
                 kvlogger.logkv("step", int(state["step"]))
                 kvlogger.dumpkvs()
-            if ckpt_dir and i // save_interval > prev // save_interval:
+            if i // save_interval > prev // save_interval:
+                saved_at = i
+                if ckpt_dir:
+                    self.save(state, ckpt_dir)
+                if save_fn is not None:
+                    save_fn(state)
+        if saved_at != i:
+            if ckpt_dir:
                 self.save(state, ckpt_dir)
-        if ckpt_dir:
-            self.save(state, ckpt_dir)
+            if save_fn is not None:
+                save_fn(state)
         return state
 
     def save(self, state: TrainState, ckpt_dir: str, step: Optional[int] = None):

@@ -57,7 +57,7 @@ def main():
     bundle_dir = os.path.join(tempfile.mkdtemp(), "bundle")
     platforms = ("cpu",) if args.cpu else ("tpu", "cpu")
     save_bundle(runner, bundle_dir, batch=2, height=32, width=32,
-                platforms=platforms)
+                platforms=platforms, allow_random_weights=True)
     size = os.path.getsize(os.path.join(bundle_dir, "restore.stablehlo.bin"))
     print(f"[1] exported bundle -> {bundle_dir} (program {size/1e3:.0f} kB, "
           f"platforms {platforms})")
@@ -73,7 +73,7 @@ def main():
           f"{float(np.abs(got - want).max()):.2e}")
 
     # -- 3. HTTP serving ---------------------------------------------------
-    service = RestorationService(cfg, use_mesh=False, service_batch=2)
+    service = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=2)
     httpd = start_server(service, port=0)
     host, port = httpd.server_address
     url = f"http://{host}:{port}"

@@ -50,7 +50,7 @@ def main():
     mask = jnp.asarray(mask[None])
 
     # --- layer 1: sampler primitives ----------------------------------------
-    module, params = resolve_model("tiny_demo64", os.path.join(REPO, "model_zoo"))
+    module, params, _prov = resolve_model("tiny_demo64", os.path.join(REPO, "model_zoo"))
     sched = NoiseSchedule.linear(0.0001, 0.02, 1000)
     plan = build_plan(sched, iter_num=20, skip_type="quad", lambda_=1.0,
                       eta=0.0, sigma_y=0.001)
@@ -77,7 +77,7 @@ def main():
     # --- layer 3: serving front-end ------------------------------------------
     from diffpir_tpu.serve import RestorationService
 
-    svc = RestorationService(cfg, use_mesh=False, service_batch=4)
+    svc = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=4)
     outs = svc.restore([np.asarray(y[0])], masks=[np.asarray(mask[0])])
     print(f"[serve]    restored request shape {outs[0].shape}, "
           f"PSNR {im.psnr_batch(outs[0][None], gt[None], max_pixel=1.0):.2f} dB")

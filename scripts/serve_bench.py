@@ -49,7 +49,7 @@ def main():
         batch_size=args.batch, noise_level_img=0.05,
         dtype="float32" if args.cpu else "bfloat16",
         save_E=False, save_L=False))
-    svc = RestorationService(cfg, use_mesh=False, service_batch=args.batch,
+    svc = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=args.batch,
                              max_wait_ms=50.0)
     rng = np.random.default_rng(0)
     hw = (args.hw, args.hw, 3)

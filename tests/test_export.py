@@ -49,7 +49,7 @@ def test_bundle_roundtrip_matches_runner(tmp_path, task):
 
     path = save_bundle(
         runner, str(tmp_path / "bundle"), batch=2, height=32, width=32,
-        kernel_hw=tuple(batch.kernel.shape[1:]), platforms=("cpu",))
+        kernel_hw=tuple(batch.kernel.shape[1:]), platforms=("cpu",), allow_random_weights=True)
     loaded = load_bundle(path)
     got = loaded(batch.img_L, kernel=batch.kernel, mask=batch.mask, seed=7)
 
@@ -71,7 +71,7 @@ def test_mesh_bundle_matches_single_device(tmp_path, mesh_shape):
     runner_mesh = Runner(cfg_mesh, use_mesh=True)
     assert runner_mesh.mesh is not None
     path = save_bundle(runner_mesh, str(tmp_path / "mesh_bundle"), batch=B,
-                       height=32, width=32, platforms=("cpu",))
+                       height=32, width=32, platforms=("cpu",), allow_random_weights=True)
     loaded = load_bundle(path)
     assert loaded.manifest["mesh"]["shape"] == list(mesh_shape)
     got = loaded(batch.img_L, mask=batch.mask, seed=5)
@@ -83,7 +83,7 @@ def test_bundle_manifest_and_validation(tmp_path):
     cfg = _cfg("inpaint")
     runner = Runner(cfg, use_mesh=False)
     path = save_bundle(runner, str(tmp_path / "b"), batch=2, height=32,
-                       width=32, platforms=("cpu",))
+                       width=32, platforms=("cpu",), allow_random_weights=True)
     loaded = load_bundle(path)
     assert loaded.manifest["task"] == "inpaint"
     assert loaded.manifest["batch"] == 2
@@ -99,7 +99,7 @@ def test_reload_params_refreshes_checkpoint(tmp_path):
     rng = np.random.default_rng(4)
     runner = Runner(_cfg("inpaint"), use_mesh=False)
     path = save_bundle(runner, str(tmp_path / "b"), batch=2, height=32,
-                       width=32, platforms=("cpu",))
+                       width=32, platforms=("cpu",), allow_random_weights=True)
     loaded = load_bundle(path)
     batch = _batch("inpaint", rng)
     out1 = loaded(batch.img_L, mask=batch.mask, seed=1)
@@ -111,7 +111,7 @@ def test_reload_params_refreshes_checkpoint(tmp_path):
     # multiplicative tweaks invisible (0 * c == 0)
     runner2.params = _jax.tree_util.tree_map(lambda p: p + 0.01, runner2.params)
     path2 = save_bundle(runner2, str(tmp_path / "b2"), batch=2, height=32,
-                        width=32, platforms=("cpu",))
+                        width=32, platforms=("cpu",), allow_random_weights=True)
     loaded.reload_params(path2)
     out2 = loaded(batch.img_L, mask=batch.mask, seed=1)
     assert np.abs(out1 - out2).max() > 0
@@ -119,3 +119,14 @@ def test_reload_params_refreshes_checkpoint(tmp_path):
         bad = str(tmp_path / "bad.npz")
         np.savez(bad, **{"0": np.zeros((3, 3), np.float32)})
         loaded.reload_params(bad)
+
+
+def test_export_refuses_random_weights(tmp_path):
+    """Exporting an AOT bundle over random weights hard-fails unless
+    explicitly allowed (tests above opt in for the tiny fixture)."""
+    cfg = _cfg("inpaint")
+    runner = Runner(cfg, use_mesh=False)
+    assert runner.weights_provenance == "random"
+    with pytest.raises(RuntimeError, match="random"):
+        save_bundle(runner, str(tmp_path / "nope"), batch=2, height=32,
+                    width=32, platforms=("cpu",))

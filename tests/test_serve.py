@@ -36,7 +36,7 @@ def _cfg(tmp_path, **over):
 
 def test_service_handles_arbitrary_request_sizes(tiny_env):
     cfg = _cfg(tiny_env)
-    svc = RestorationService(cfg, use_mesh=False, service_batch=2)
+    svc = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=2)
     rng = np.random.default_rng(1)
     masks = [(rng.random((IMG, IMG)) > 0.3).astype(np.float32) for _ in range(3)]
     imgs = [rng.random((IMG, IMG, 3)).astype(np.float32) * m[:, :, None]
@@ -58,7 +58,7 @@ def test_serve_folder(tiny_env, tmp_path):
     cfg = _cfg(tiny_env)
     out_dir = str(tmp_path / "served")
     stats = serve_folder(cfg, str(tiny_env / "testsets" / "tiny"), out_dir,
-                         use_mesh=False)
+                         use_mesh=False, allow_random_weights=True)
     assert stats["n_images"] == 3
     files = os.listdir(out_dir)
     assert sum(f.startswith("restored_") for f in files) == 3
@@ -67,7 +67,7 @@ def test_serve_folder(tiny_env, tmp_path):
 def test_request_validation(tiny_env):
     from diffpir_tpu.serve import RequestError
 
-    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, allow_random_weights=True, service_batch=2)
     rng = np.random.default_rng(2)
     good = rng.random((IMG, IMG, 3)).astype(np.float32)
     good_mask = (rng.random((IMG, IMG)) > 0.5).astype(np.float32)
@@ -93,7 +93,7 @@ def test_request_validation(tiny_env):
 def test_mixed_shape_requests_grouped(tiny_env):
     """Requests of different sizes are served per-shape (np.stack on mixed
     shapes would crash); outputs come back in request order."""
-    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, allow_random_weights=True, service_batch=2)
     rng = np.random.default_rng(3)
     imgs = [rng.random((IMG, IMG, 3)).astype(np.float32),
             rng.random((IMG * 2, IMG, 3)).astype(np.float32),
@@ -111,7 +111,7 @@ def test_non_modulo_sizes_pad_and_crop(tiny_env):
     """H/W not divisible by the UNet's downsample factor are padded to the
     modulo before dispatch and cropped back (the skip-connection concat would
     otherwise crash at trace time)."""
-    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, allow_random_weights=True, service_batch=2)
     assert svc._pad_mod == 8  # tiny config: 4 levels
     rng = np.random.default_rng(5)
     shapes = [(50, 52), (61, 45)]
@@ -131,7 +131,7 @@ def test_sr_non_modulo_pad_and_crop(tiny_env):
     to exactly (h*sf, w*sf)."""
     svc = RestorationService(
         _cfg(tiny_env, task="sr", sf=2, sr_mode="blur", mask_prob_range=None),
-        use_mesh=False, service_batch=2)
+        use_mesh=False, allow_random_weights=True, service_batch=2)
     rng = np.random.default_rng(7)
     shapes = [(30, 26), (32, 32)]  # padded vs already-modulo
     imgs = [rng.random(s + (3,)).astype(np.float32) for s in shapes]
@@ -147,7 +147,7 @@ def test_kernel_padding_preserves_otf(tiny_env):
     case that floor-centered padding gets wrong by one pixel."""
     from diffpir_tpu.ops.boundary import psf2otf
 
-    svc = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False,
+    svc = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False, allow_random_weights=True,
                              service_batch=2)
     rng = np.random.default_rng(6)
     for size in (5, 7, 8, 11):
@@ -158,7 +158,7 @@ def test_kernel_padding_preserves_otf(tiny_env):
         np.testing.assert_allclose(psf2otf(kp, (IMG, IMG)),
                                    psf2otf(k, (IMG, IMG)), atol=1e-6)
     # fixed service-wide kernel size pins the compile-cache key
-    svc2 = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False,
+    svc2 = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False, allow_random_weights=True,
                               service_batch=2, kernel_size=16)
     shapes = {svc2._pad_kernel(rng.random((s, s)).astype(np.float32),
                                (IMG, IMG)).shape for s in (5, 7, 11, 13)}
@@ -170,7 +170,7 @@ def test_close_fails_queued_futures_and_restarts(tiny_env):
     transparently restarts the worker."""
     from diffpir_tpu.serve import RequestError
 
-    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, allow_random_weights=True, service_batch=2,
                              max_wait_ms=1.0)
     rng = np.random.default_rng(7)
     m = (rng.random((IMG, IMG)) > 0.3).astype(np.float32)
@@ -207,7 +207,7 @@ def test_close_fails_queued_futures_and_restarts(tiny_env):
 
 def test_drain_launches_use_distinct_seeds(tiny_env):
     """Coalesced launches must not reuse one diffusion noise stream."""
-    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, allow_random_weights=True, service_batch=2,
                              max_wait_ms=1.0)
     seeds = []
     orig = svc.runner.restore_batch
@@ -228,7 +228,7 @@ def test_drain_launches_use_distinct_seeds(tiny_env):
 
 def test_submit_coalesces_concurrent_requests(tiny_env):
     """The async front-end batches concurrent submits into shared launches."""
-    svc = RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2,
+    svc = RestorationService(_cfg(tiny_env), use_mesh=False, allow_random_weights=True, service_batch=2,
                              max_wait_ms=300.0)
     rng = np.random.default_rng(4)
     masks = [(rng.random((IMG, IMG)) > 0.3).astype(np.float32)
@@ -252,3 +252,13 @@ def test_submit_coalesces_concurrent_requests(tiny_env):
     # 4 requests through batch-2 programs: at most 3 launches means at least
     # one launch carried 2 coalesced requests
     assert len(calls) <= 3
+
+
+def test_service_refuses_random_weights(tiny_env):
+    """A serving endpoint over the zoo's random-init fallback must hard-fail
+    unless explicitly allowed (VERDICT r2: silent-garbage failure mode)."""
+    with pytest.raises(RuntimeError, match="random"):
+        RestorationService(_cfg(tiny_env), use_mesh=False, service_batch=2)
+    with pytest.raises(RuntimeError, match="random"):
+        serve_folder(_cfg(tiny_env), str(tiny_env / "testsets" / "tiny"),
+                     str(tiny_env / "out"), use_mesh=False)

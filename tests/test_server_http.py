@@ -20,7 +20,7 @@ def server():
         task="inpaint", model_name="tiny_test", iter_num=2, iter_num_U=1,
         batch_size=2, noise_level_img=0.0, seed=0, dtype="float32",
         save_E=False, save_L=False))
-    service = RestorationService(cfg, use_mesh=False, service_batch=2,
+    service = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=2,
                                  max_wait_ms=40.0)
     httpd = start_server(service, port=0)
     host, port = httpd.server_address
@@ -127,7 +127,7 @@ def test_deblur_kernel_request():
         task="deblur", model_name="tiny_test", iter_num=2, iter_num_U=1,
         batch_size=2, noise_level_img=0.0, seed=0, dtype="float32",
         save_E=False, save_L=False))
-    service = RestorationService(cfg, use_mesh=False, service_batch=2,
+    service = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=2,
                                  max_wait_ms=5.0)
     httpd = start_server(service, port=0)
     try:
@@ -160,3 +160,25 @@ def test_stats_progress(server):
         stats = json.loads(r.read())
     assert stats["requests"] >= 5
     assert stats["errors"] >= 3
+
+
+def test_oversized_body_rejected_with_413():
+    """Bodies beyond max_body_bytes are refused BEFORE the read —
+    Content-Length is attacker-controlled and threads are per-connection."""
+    cfg = load_config(None, overrides=dict(
+        task="inpaint", model_name="tiny_test", iter_num=2, iter_num_U=1,
+        batch_size=2, noise_level_img=0.0, seed=0, dtype="float32",
+        save_E=False, save_L=False))
+    service = RestorationService(cfg, use_mesh=False, service_batch=2,
+                                 allow_random_weights=True)
+    httpd = start_server(service, port=0, max_body_bytes=64)
+    host, port = httpd.server_address
+    try:
+        body = _npz_body(np.zeros((8, 8, 3), np.float32))
+        assert len(body) > 64
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(f"http://{host}:{port}", body, "application/x-npz")
+        assert err.value.code == 413
+    finally:
+        httpd.shutdown()
+        service.close()

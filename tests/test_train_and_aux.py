@@ -358,7 +358,8 @@ def test_zoo_cache_invalidated_by_newer_checkpoint(tmp_path):
     p1 = module.init(jax.random.PRNGKey(1),
                      jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32))["params"]
     zoo.save_params_npz(p1, str(mz / "tiny_cachetest.flax.npz"))
-    _, loaded = zoo.resolve_model("tiny_cachetest", str(mz))
+    _, loaded, prov = zoo.resolve_model("tiny_cachetest", str(mz))
+    assert prov == "cache"
     np.testing.assert_array_equal(
         loaded["time_embed_0"]["kernel"], np.asarray(p1["time_embed_0"]["kernel"]))
 
@@ -370,7 +371,8 @@ def test_zoo_cache_invalidated_by_newer_checkpoint(tmp_path):
           for k, v in flax_to_torch_state_dict(p2).items()}
     torch.save(sd, str(mz / "tiny_cachetest.pt"))
     os.utime(str(mz / "tiny_cachetest.pt"))
-    _, reloaded = zoo.resolve_model("tiny_cachetest", str(mz))
+    _, reloaded, prov2 = zoo.resolve_model("tiny_cachetest", str(mz))
+    assert prov2 == "checkpoint"
     np.testing.assert_array_equal(
         reloaded["time_embed_0"]["kernel"], np.asarray(p2["time_embed_0"]["kernel"]))
 
@@ -444,3 +446,94 @@ def test_csv_writer_resume_keeps_columns_aligned(tmp_path):
         rows = list(_csv.DictReader(f))
     assert [r["z"] for r in rows] == ["1", "3", "6"]
     assert [r["a"] for r in rows] == ["", "2", "5"]
+
+
+def test_train_steps_from_pool_matches_train_steps():
+    """Gathering batches from a device-resident pool inside the compiled
+    program (train_steps_from_pool) is semantically identical to stacking
+    pool[idx] on host and calling train_steps."""
+    t_a = _trainer()
+    t_b = _trainer()
+    s_a = t_a.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    s_b = t_b.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    rng = np.random.default_rng(4)
+    pool = jnp.asarray(rng.standard_normal((10, 16, 16, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 10, (3, 4)), jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    s_a, m_a = t_a.train_steps_from_pool(s_a, pool, idx, key)
+    s_b, m_b = t_b.train_steps(s_b, pool[idx], key)
+
+    np.testing.assert_allclose(np.asarray(m_a["loss"]),
+                               np.asarray(m_b["loss"]), rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s_a["params"]),
+                      jax.tree_util.tree_leaves(s_b["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_fit_pool_path(tmp_path):
+    """fit(pool=...) ships only indices per dispatch; step count stays exact,
+    and the data-source arguments are validated."""
+    kvlogger.reset()
+    kvlogger.configure(str(tmp_path), ["csv"])
+    trainer = _trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    rng = np.random.default_rng(5)
+    pool = rng.standard_normal((12, 16, 16, 3)).astype(np.float32)
+
+    saves = []
+    state = trainer.fit(state, steps=7, key=jax.random.PRNGKey(1), pool=pool,
+                        batch_size=4, steps_per_call=3, log_interval=3,
+                        save_interval=5, save_fn=lambda s: saves.append(
+                            int(s["step"])))
+    assert int(state["step"]) == 7
+    assert saves and saves[-1] == 7  # interval crossing + final
+    assert (tmp_path / "progress.csv").exists()
+    kvlogger.reset()
+
+    with pytest.raises(ValueError):  # both sources
+        trainer.fit(state, iter([]), steps=1, key=jax.random.PRNGKey(2),
+                    pool=pool, batch_size=4)
+    with pytest.raises(ValueError):  # neither
+        trainer.fit(state, steps=1, key=jax.random.PRNGKey(2))
+    with pytest.raises(ValueError):  # pool without batch_size
+        trainer.fit(state, steps=1, key=jax.random.PRNGKey(2), pool=pool)
+
+
+def test_remat_forward_and_grad_parity():
+    """use_remat=True must not change parameters, outputs, or gradients —
+    only the backward-pass memory/compute schedule (reference analogue:
+    ``use_checkpoint``, guided_diffusion/unet.py:154-162)."""
+    import dataclasses as _dc
+
+    from diffpir_tpu.models.unet import UNet
+
+    cfg_plain = TINY
+    cfg_remat = _dc.replace(TINY, use_remat=True)
+    m0 = UNet(cfg_plain, dtype=jnp.float32)
+    m1 = UNet(cfg_remat, dtype=jnp.float32)
+
+    x = jnp.asarray(np.random.default_rng(6)
+                    .standard_normal((2, 16, 16, 3)).astype(np.float32))
+    t = jnp.asarray([3, 40], jnp.int32)
+    p0 = m0.init(jax.random.PRNGKey(0), x, t)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x, t)["params"]
+    # identical param tree (names + shapes): checkpoints are remat-agnostic
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+
+    y0 = m0.apply({"params": p0}, x, t)
+    y1 = m1.apply({"params": p1}, x, t)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m, p):
+        return (m.apply({"params": p}, x, t) ** 2).mean()
+
+    g0 = jax.grad(lambda p: loss(m0, p))(p0)
+    g1 = jax.grad(lambda p: loss(m1, p))(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
