@@ -65,6 +65,9 @@ class TaskConfig:
     save_E: bool = True
     save_LEH: bool = False             # side-by-side L|E|H montage (sisr driver)
     calc_LPIPS: bool = False
+    lpips_weights: Optional[str] = None  # local VGG16+lin weights file for
+                                       # LPIPS in no-egress deployments
+                                       # (metrics.lpips_from_weights)
     calc_SSIM: bool = True             # log SSIM alongside PSNR (the reference
                                        # implements it, utils_image.py:616-661,
                                        # but its drivers never call it)

@@ -326,7 +326,7 @@ class Runner:
         if cfg.calc_LPIPS:
             from diffpir_tpu.metrics import make_lpips
 
-            lpips_fn = make_lpips()
+            lpips_fn = make_lpips(weights_path=cfg.lpips_weights)
 
         psnrs, psnrs_y, ssims, lpipss, times, n_imgs = [], [], [], [], [], 0
         if save and cfg.task == "inpaint" and cfg.save_progressive_mask and batches:
