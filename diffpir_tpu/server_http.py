@@ -35,6 +35,7 @@ import json
 import os
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -46,18 +47,28 @@ __all__ = ["start_server", "make_handler"]
 
 
 class _Stats:
-    def __init__(self) -> None:
+    """Request counters + latency aggregates incl. p50/p95/p99.
+
+    Percentiles are computed over a bounded window of the most recent
+    ``window`` request latencies (ring buffer) so /stats stays O(window)
+    and memory-bounded on a long-lived server; avg_latency_s remains the
+    exact all-time mean.
+    """
+
+    def __init__(self, window: int = 4096) -> None:
         self.lock = threading.Lock()
         self.requests = 0
         self.images = 0
         self.errors = 0
         self.latency_sum = 0.0
+        self._window = deque(maxlen=window)
 
     def record(self, n_images: int, seconds: float) -> None:
         with self.lock:
             self.requests += 1
             self.images += n_images
             self.latency_sum += seconds
+            self._window.append(seconds)
 
     def error(self) -> None:
         with self.lock:
@@ -65,10 +76,16 @@ class _Stats:
 
     def snapshot(self) -> dict:
         with self.lock:
-            return dict(
+            out = dict(
                 requests=self.requests, images=self.images, errors=self.errors,
                 avg_latency_s=(self.latency_sum / self.requests
                                if self.requests else 0.0))
+            if self._window:
+                lat = np.sort(np.asarray(self._window, np.float64))
+                for name, q in (("p50", 50.0), ("p95", 95.0), ("p99", 99.0)):
+                    out[f"{name}_latency_s"] = float(np.percentile(lat, q))
+                out["latency_window"] = int(lat.size)
+            return out
 
 
 def _parse_npz(body: bytes):

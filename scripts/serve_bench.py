@@ -9,6 +9,14 @@ overhead.  Run on the TPU (default backend) or ``--cpu``.
     python scripts/serve_bench.py [--n 64] [--batch 16] [--hw 256]
         [--model diffusion_ffhq_10m] [--nfe 100] [--cpu]
 
+Also reports per-request latency percentiles (p50/p95/p99): under
+coalescing, an individual request's latency is queue-wait + the shared
+batch's trajectory time, so percentiles — not the mean — are the serving
+SLO numbers.  ``--serial`` switches to a batch-1 latency mode (one request
+in flight at a time, service_batch=1) measuring the floor a single
+interactive caller sees; combine with ``--nfe`` to map the NFE-vs-latency
+tradeoff.
+
 Measured (TPU v5e, defaults): 3.07 img/s = 96% of bench.py's 3.19.
 """
 
@@ -31,6 +39,9 @@ def main():
     ap.add_argument("--model", default="diffusion_ffhq_10m")
     ap.add_argument("--nfe", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--serial", action="store_true",
+                    help="batch-1 latency mode: one request in flight at a "
+                         "time, service_batch=1 (interactive-caller floor)")
     args = ap.parse_args()
 
     import jax
@@ -49,8 +60,9 @@ def main():
         batch_size=args.batch, noise_level_img=0.05,
         dtype="float32" if args.cpu else "bfloat16",
         save_E=False, save_L=False))
-    svc = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=args.batch,
-                             max_wait_ms=50.0)
+    service_batch = 1 if args.serial else args.batch
+    svc = RestorationService(cfg, use_mesh=False, allow_random_weights=True,
+                             service_batch=service_batch, max_wait_ms=50.0)
     rng = np.random.default_rng(0)
     hw = (args.hw, args.hw, 3)
     imgs = [rng.uniform(size=hw).astype(np.float32) for _ in range(args.n)]
@@ -58,17 +70,39 @@ def main():
              for _ in range(args.n)]
 
     t0 = time.perf_counter()
-    svc.restore(imgs[:args.batch], masks=masks[:args.batch])
+    svc.restore(imgs[:service_batch], masks=masks[:service_batch])
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
+    lat = np.zeros(args.n)
     t0 = time.perf_counter()
-    futs = [svc.submit(im, mask=mk) for im, mk in zip(imgs, masks)]
-    wait(futs, timeout=3600)
-    outs = [f.result() for f in futs]
+    if args.serial:
+        outs = []
+        for i, (im, mk) in enumerate(zip(imgs, masks)):
+            ti = time.perf_counter()
+            outs.append(svc.submit(im, mask=mk).result(timeout=3600))
+            lat[i] = time.perf_counter() - ti
+    else:
+        # per-request latency = submit -> future resolution (queue wait +
+        # shared batch trajectory); done-callbacks stamp completion times
+        def _stamp(i, ts):
+            return lambda _f: lat.__setitem__(i, time.perf_counter() - ts)
+
+        futs = []
+        for i, (im, mk) in enumerate(zip(imgs, masks)):
+            ts = time.perf_counter()
+            f = svc.submit(im, mask=mk)
+            f.add_done_callback(_stamp(i, ts))
+            futs.append(f)
+        wait(futs, timeout=3600)
+        outs = [f.result() for f in futs]
     dt = time.perf_counter() - t0
     assert all(np.isfinite(o).all() for o in outs)
-    print(f"served {args.n} concurrent requests in {dt:.2f}s = "
-          f"{args.n / dt:.3f} img/s (service batch {args.batch})")
+    p50, p95, p99 = (float(np.percentile(lat, q)) for q in (50, 95, 99))
+    mode = "serial batch-1" if args.serial else "concurrent"
+    print(f"served {args.n} {mode} requests in {dt:.2f}s = "
+          f"{args.n / dt:.3f} img/s (service batch {service_batch}, "
+          f"NFE {args.nfe})")
+    print(f"request latency s: p50 {p50:.2f}  p95 {p95:.2f}  p99 {p99:.2f}")
     svc.close()
 
 

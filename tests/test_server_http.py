@@ -160,6 +160,33 @@ def test_stats_progress(server):
         stats = json.loads(r.read())
     assert stats["requests"] >= 5
     assert stats["errors"] >= 3
+    # latency percentiles (VERDICT r2 item 6): present once >=1 request
+    # succeeded, ordered, and consistent with the recent-window definition
+    assert {"p50_latency_s", "p95_latency_s", "p99_latency_s",
+            "latency_window"} <= set(stats)
+    assert 0.0 < stats["p50_latency_s"] <= stats["p95_latency_s"] \
+        <= stats["p99_latency_s"]
+    assert stats["latency_window"] <= stats["requests"]
+
+
+def test_stats_percentiles_unit():
+    """_Stats percentile math, incl. ring-buffer windowing, without a server."""
+    from diffpir_tpu.server_http import _Stats
+
+    st = _Stats(window=4)
+    assert "p50_latency_s" not in st.snapshot()
+    for v in (0.1, 0.2, 0.3, 0.4):
+        st.record(1, v)
+    s = st.snapshot()
+    assert s["p50_latency_s"] == pytest.approx(0.25)
+    assert s["p99_latency_s"] == pytest.approx(0.397)
+    assert s["avg_latency_s"] == pytest.approx(0.25)
+    # window evicts the oldest sample; the all-time mean keeps it
+    st.record(1, 0.5)
+    s = st.snapshot()
+    assert s["latency_window"] == 4
+    assert s["p50_latency_s"] == pytest.approx(0.35)
+    assert s["avg_latency_s"] == pytest.approx(0.3)
 
 
 def test_oversized_body_rejected_with_413():
