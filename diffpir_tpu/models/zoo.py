@@ -125,6 +125,9 @@ class ResolvedModel(NamedTuple):
       "demo"       — bundled repo-trained demo prior (real trained weights)
       "random"     — fallback random init (test fixtures only; serving and
                      export refuse this unless explicitly allowed)
+      "abstract"   — ShapeDtypeStruct tree only (``abstract=True``): nothing
+                     materialized; for lowering/sharding validation at full
+                     model scale (e.g. the 553M flagship) without the memory
     """
 
     module: UNet
@@ -134,7 +137,7 @@ class ResolvedModel(NamedTuple):
 
 def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
                   dtype=jnp.float32, use_pallas: bool = False,
-                  init_seed: int = 0) -> ResolvedModel:
+                  init_seed: int = 0, abstract: bool = False) -> ResolvedModel:
     """Return ResolvedModel(module, params, provenance) for `model_name`.
 
     (NamedTuple: destructuring as ``module, params, _`` — or indexing — keeps
@@ -143,6 +146,14 @@ def resolve_model(model_name: str, model_zoo: str = "model_zoo", *,
     """
     cfg = model_config_for(model_name)
     module = UNet(cfg, dtype=dtype, use_pallas=use_pallas)
+
+    if abstract:
+        sample = jax.ShapeDtypeStruct(
+            (1, cfg.image_size, cfg.image_size, cfg.in_channels), jnp.float32)
+        shapes = jax.eval_shape(module.init, jax.random.PRNGKey(init_seed),
+                                sample,
+                                jax.ShapeDtypeStruct((1,), jnp.int32))
+        return ResolvedModel(module, shapes["params"], "abstract")
 
     npz_path = os.path.join(model_zoo, f"{model_name}.flax.npz")
     pt_path = os.path.join(model_zoo, f"{model_name}.pt")

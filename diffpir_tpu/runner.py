@@ -103,7 +103,8 @@ def reference_sweep(cfg: TaskConfig) -> list[tuple[float, float]]:
 class Runner:
     """Bind config + model once; restore batches / run full evaluations."""
 
-    def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True):
+    def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True,
+                 abstract_params: bool = False):
         self.cfg = cfg
         self.schedule = NoiseSchedule.linear(
             cfg.beta_start, cfg.beta_end, cfg.num_train_timesteps)
@@ -126,7 +127,8 @@ class Runner:
 
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self.module, params, self.weights_provenance = resolve_model(
-            cfg.model_name, cfg.model_zoo, dtype=dtype, use_pallas=cfg.use_pallas)
+            cfg.model_name, cfg.model_zoo, dtype=dtype,
+            use_pallas=cfg.use_pallas, abstract=abstract_params)
 
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:
@@ -135,13 +137,37 @@ class Runner:
                 # dp x tp: batch over "data", Megatron-style parameter
                 # sharding over "model" (parallel/tp.py) — the 553M imagenet
                 # flagship stops having to fit one chip
-                from diffpir_tpu.parallel.tp import shard_unet_params
+                from jax.sharding import NamedSharding
+
+                from diffpir_tpu.parallel.tp import (
+                    shard_unet_params, unet_tp_specs)
 
                 self.mesh = make_mesh(shape, axis_names=("data", "model"))
-                params = shard_unet_params(params, self.mesh, self.module.cfg)
+                if abstract_params:
+                    # attach shardings without materializing anything —
+                    # lower_restore() validates propagation at full scale
+                    specs = unet_tp_specs(params, self.module.cfg,
+                                          self.mesh.shape["model"])
+                    params = jax.tree_util.tree_map(
+                        lambda p, s: jax.ShapeDtypeStruct(
+                            p.shape, p.dtype,
+                            sharding=NamedSharding(self.mesh, s)),
+                        params, specs)
+                else:
+                    params = shard_unet_params(params, self.mesh,
+                                               self.module.cfg)
             else:
                 self.mesh = make_mesh(shape)
-                params = replicate(params, self.mesh)
+                if abstract_params:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rep = NamedSharding(self.mesh, PartitionSpec())
+                    params = jax.tree_util.tree_map(
+                        lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype,
+                                                       sharding=rep),
+                        params)
+                else:
+                    params = replicate(params, self.mesh)
         self.params = params
 
         self._apply = lambda p, x, t: self.module.apply({"params": p}, x, t)
@@ -263,6 +289,36 @@ class Runner:
 
         return jax.jit(restore)
 
+    def lower_restore(self, batch: int, height: int, width: int,
+                      kernel_hw: tuple[int, int] = (1, 1)):
+        """Trace + lower the whole restore trajectory WITHOUT executing it.
+
+        Shapes only: works with ``abstract_params=True`` Runners, so the
+        553M flagship's dp x tp sharding propagation can be validated on any
+        host (e.g. a virtual CPU mesh) without 553M of memory or a compile.
+        Returns the ``jax.stages.Lowered`` — ``.as_text()`` is the sharded
+        StableHLO.  ``height``/``width`` are the observation's size (for SR,
+        the low-res input).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        cfg = self.cfg
+        plan = self._plan(cfg.lambda_, cfg.zeta)
+        fn = self._restore_fn(plan, cfg.zeta, cfg.lambda_)
+        if self.mesh is not None:
+            data = NamedSharding(self.mesh, PartitionSpec("data"))
+        else:
+            data = None
+
+        def arg(shape):
+            return jax.ShapeDtypeStruct(shape, jnp.float32, sharding=data)
+
+        y = arg((batch, height, width, cfg.n_channels))
+        kern = arg((batch,) + tuple(kernel_hw))
+        mask = arg((batch, height, width, cfg.n_channels))
+        return fn.lower(self.params, y, kern, mask,
+                        jax.random.PRNGKey(0), None)
+
     def restore_batch(self, batch: Batch, lambda_: Optional[float] = None,
                       zeta: Optional[float] = None, seed: int = 0,
                       fetch: bool = True) -> np.ndarray:
@@ -273,6 +329,10 @@ class Runner:
         batch i with device compute for batch i+1.
         """
         cfg = self.cfg
+        if self.weights_provenance == "abstract":
+            raise RuntimeError(
+                "Runner was built with abstract_params=True (no weights "
+                "materialized) — only lower_restore() is available")
         lambda_ = cfg.lambda_ if lambda_ is None else lambda_
         zeta = cfg.zeta if zeta is None else zeta
         key = (lambda_, zeta, batch.img_L.shape, batch.kernel.shape)
@@ -454,8 +514,11 @@ def dryrun_restore(n_devices: int) -> None:
     batch sharded over the 'data' axis, replicated params, whole trajectory as
     one ``lax.scan``.  Covers all three prox families — mask-average inpaint,
     sf=1 FFT Wiener deblur, and sf-split Wiener SR
-    (reference ``main_ddpir.py:384-445``) — plus the dp x tp 2-D mesh with
-    Megatron-style parameter sharding (checked against the dp result).
+    (reference ``main_ddpir.py:384-445``) — each ALSO on the dp x tp 2-D mesh
+    with Megatron-style parameter sharding (checked against the dp result),
+    then two deployment stages on the same virtual mesh: an exported
+    StableHLO mesh bundle (save_bundle -> load_bundle -> execute) and one
+    ``RestorationService.submit`` coalescing round.
     """
     from diffpir_tpu.config import load_config
 
@@ -492,16 +555,61 @@ def dryrun_restore(n_devices: int) -> None:
         out = runner.restore_batch(batch)
         assert out.shape == img_H.shape, (out.shape, img_H.shape)
         assert np.isfinite(out).all(), f"non-finite restore output ({task})"
+        print(f"dryrun_restore: {task} dp({n_devices}): OK")
 
-        if task == "inpaint" and n_devices % 4 == 0:
+        if n_devices % 4 == 0:
             # dp x tp: same batch on a 2-D (data, model) mesh with
             # Megatron-style parameter sharding (parallel/tp.py) must
-            # reproduce the data-parallel result
+            # reproduce the data-parallel result — for EVERY prox family,
+            # not just inpaint (VERDICT r2 item 3)
             cfg_tp = load_config(None, overrides=dict(
                 task=task, model_name="tiny_test", iter_num=2, iter_num_U=1,
                 batch_size=n_devices, noise_level_img=0.0, seed=0,
                 dtype="float32", save_L=False, save_E=False,
-                mesh_shape=(n_devices // 4, 4)))
+                mesh_shape=(n_devices // 4, 4),
+                **(dict(sf=2, sr_mode="blur") if task == "sr" else {})))
             out_tp = Runner(cfg_tp, use_mesh=True).restore_batch(batch)
             np.testing.assert_allclose(out_tp, out, rtol=0, atol=5e-5)
-    print(f"dryrun_restore({n_devices}): OK (inpaint + deblur + sr + dp x tp)")
+            print(f"dryrun_restore: {task} dp x tp"
+                  f"({n_devices // 4}x4): OK (parity vs dp)")
+        if task == "inpaint":
+            inpaint_ctx = (cfg, runner, batch, out)
+
+    # deployment stage 1: exported mesh bundle executes on the virtual mesh
+    # and reproduces the live runner (export.py records per-leaf
+    # PartitionSpecs; load_bundle rebuilds the mesh on this host's devices)
+    import tempfile
+
+    from diffpir_tpu.export import load_bundle, save_bundle
+
+    cfg, runner, batch, out = inpaint_ctx
+    with tempfile.TemporaryDirectory() as td:
+        path = save_bundle(
+            runner, os.path.join(td, "bundle"), batch=n_devices,
+            height=H, width=H, platforms=(jax.default_backend(),),
+            allow_random_weights=True)
+        loaded = load_bundle(path)
+        got = loaded(batch.img_L, mask=batch.mask, seed=0)
+    np.testing.assert_allclose(got, out, rtol=0, atol=5e-5)
+    print(f"dryrun_restore: mesh bundle({n_devices}): OK (parity vs runner)")
+
+    # deployment stage 2: one RestorationService coalescing round —
+    # n_devices concurrent submit()s drain as one mesh-sharded batch
+    from concurrent.futures import wait
+
+    from diffpir_tpu.serve import RestorationService
+
+    svc = RestorationService(cfg, use_mesh=True, service_batch=n_devices,
+                             max_wait_ms=200.0, allow_random_weights=True)
+    try:
+        futs = [svc.submit(batch.img_L[i], mask=batch.mask[i])
+                for i in range(n_devices)]
+        wait(futs, timeout=600)
+        outs = [f.result() for f in futs]
+    finally:
+        svc.close()
+    assert all(np.isfinite(o).all() for o in outs)
+    assert outs[0].shape == batch.img_L[0].shape
+    print(f"dryrun_restore: serve coalescing({n_devices}): OK")
+    print(f"dryrun_restore({n_devices}): OK "
+          "(3-task dp + 3-task dp x tp + bundle + serve)")

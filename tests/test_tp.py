@@ -142,3 +142,52 @@ def test_tp_runner_restore_matches_single_device(tmp_path):
     ref = Runner(_cfg(None), use_mesh=False).restore_batch(batch, seed=0)
     out = Runner(_cfg((2, 4)), use_mesh=True).restore_batch(batch, seed=0)
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-5)
+
+
+def test_tp_flagship_553m_restore_lowering():
+    """Lower (not execute) the dp x tp 553M-flagship restore trajectory.
+
+    VERDICT r2 item 4b: validates GSPMD sharding propagation at the real
+    imagenet-flagship scale (256x256_diffusion_uncond topology, 553M params)
+    on the virtual 8-device mesh — abstract params, so nothing is
+    materialized and no compile runs.  The lowered module must carry the
+    2x4 mesh and a sharding annotation on a TP-sharded parameter.
+    """
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    cfg = load_config(None, overrides=dict(
+        task="deblur", model_name="256x256_diffusion_uncond", iter_num=2,
+        iter_num_U=1, batch_size=8, noise_level_img=0.05, seed=0,
+        dtype="bfloat16", save_E=False, save_L=False, mesh_shape=(2, 4)))
+    runner = Runner(cfg, use_mesh=True, abstract_params=True)
+    assert runner.weights_provenance == "abstract"
+    assert runner.mesh is not None and dict(runner.mesh.shape) == {
+        "data": 2, "model": 4}
+
+    # >90% of the 553M params must carry a model-axis sharding
+    n_sharded = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(runner.params)
+        if any(d is not None for d in p.sharding.spec))
+    n_total = sum(int(np.prod(p.shape))
+                  for p in jax.tree_util.tree_leaves(runner.params))
+    assert n_total > 500e6, n_total
+    assert n_sharded / n_total > 0.9
+
+    lowered = runner.lower_restore(batch=8, height=256, width=256,
+                                   kernel_hw=(25, 25))
+    hlo = lowered.as_text()
+    assert "num_partitions = 8" in hlo
+    assert 'sdy.mesh @mesh = <["data"=2, "model"=4]>' in hlo
+    assert '[{"model"}]' in hlo  # TP annotations survived into the module
+
+    # executing a materialization-free Runner must fail loudly
+    from diffpir_tpu.data import Batch
+
+    with pytest.raises(RuntimeError, match="abstract"):
+        runner.restore_batch(Batch(
+            img_H=np.zeros((8, 256, 256, 3), np.uint8),
+            img_L=np.zeros((8, 256, 256, 3), np.float32),
+            kernel=np.ones((8, 1, 1), np.float32),
+            mask=np.ones((8, 256, 256, 3), np.float32),
+            names=[str(i) for i in range(8)]))
