@@ -150,3 +150,43 @@ def test_demo64_sr_quality():
     # measured 42.6 dB / 0.981 with demo64_hq
     assert res["psnr"] > 39.0, res
     assert res["ssim"] > 0.96, res
+
+
+def _demo256_eval(task_yaml: str, overrides: dict) -> dict:
+    demo256 = os.path.join(os.path.dirname(DEMO), "demo256.flax.npz")
+    if not os.path.exists(demo256):
+        pytest.skip("demo256 not trained yet")
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = dict(cwd=repo, save_E=False, save_L=False)
+    if not os.environ.get("DIFFPIR_DEMO256_FULL"):
+        # CPU-suite cost control: the shipped configs are 100 NFE at 256px
+        # (the reference's operating point — the TPU-measured numbers live in
+        # BASELINE.md); the suite checks the same full stack at 20 NFE with
+        # correspondingly conservative thresholds.
+        # DIFFPIR_DEMO256_FULL=1 runs the shipped 100-NFE settings.
+        base["iter_num"] = 20
+    base.update(overrides)
+    cfg = load_config(os.path.join(repo, "configs", task_yaml), base)
+    return Runner(cfg, use_mesh=False).evaluate(save=False)
+
+
+def test_demo256_inpaint_quality():
+    """Flagship-topology 256px prior (VERDICT r2 item 1): random-mask
+    inpainting on held-out 256px synthetics through the full runner path —
+    the first trained-prior run at the reference's 256px operating point."""
+    res = _demo256_eval("demo256_inpaint.yaml", {})
+    assert res["psnr"] > 30.0, res
+    assert res["ssim"] > 0.9, res
+
+
+def test_demo256_deblur_quality():
+    res = _demo256_eval("demo256_deblur.yaml", {})
+    assert res["psnr"] > 28.0, res
+
+
+def test_demo256_sr_quality():
+    res = _demo256_eval("demo256_sisr.yaml", {})
+    assert res["psnr"] > 24.0, res
