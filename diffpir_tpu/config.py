@@ -117,6 +117,14 @@ class TaskConfig:
                                        # parallel over all/N devices; 2-D
                                        # [D, M] = dp x Megatron-style tensor
                                        # parallel (parallel/tp.py)
+    mesh_axes: Optional[Sequence[str]] = None   # names for mesh_shape's axes,
+                                       # from {data, model, space}; defaults
+                                       # preserve the legacy meanings above.
+                                       # "space" shards ACTIVATIONS on image
+                                       # height (spatial parallelism): params
+                                       # replicated, GSPMD inserts conv halo
+                                       # exchanges — exact (no tiling seams)
+                                       # high-res restore across chips
 
     # ---- derived (filled by finalize) ----
     sigma: float = dataclasses.field(default=0.001, init=False)
@@ -138,6 +146,18 @@ class TaskConfig:
             raise ValueError("psnr_y_mode must be 'reference' or 'true'")
         if self.test_mode not in (0, 1, 2, 3, 4):
             raise ValueError("test_mode must be in 0..4")
+        if self.mesh_axes is not None:
+            axes = tuple(self.mesh_axes)
+            if not set(axes) <= {"data", "model", "space"}:
+                raise ValueError("mesh_axes entries must be from "
+                                 f"{{data, model, space}}, got {axes}")
+            if len(set(axes)) != len(axes):
+                raise ValueError(f"mesh_axes must be unique, got {axes}")
+            n_dims = 1 if self.mesh_shape is None else len(self.mesh_shape)
+            if len(axes) != n_dims:
+                raise ValueError(
+                    f"mesh_axes {axes} must match mesh_shape "
+                    f"{self.mesh_shape} ({n_dims} dims)")
         if self.model_output_type not in ("pred_xstart", "pred_x_prev"):
             # the reference drivers support exactly these two
             # (main_ddpir.py:137); a typo must not silently select the

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "shard_batch", "shard_image", "replicate"]
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None,
@@ -36,9 +36,27 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
-def shard_batch(arr, mesh: Mesh, axis: str = "data"):
-    """Place an array with its leading (batch) dim sharded over `axis`."""
+def shard_batch(arr, mesh: Mesh, axis: Optional[str] = "data"):
+    """Place an array with its leading (batch) dim sharded over `axis`.
+
+    ``axis=None`` replicates (e.g. kernels on a space-only mesh)."""
     spec = P(axis, *([None] * (np.ndim(arr) - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def shard_image(arr, mesh: Mesh, data_axis: Optional[str] = "data",
+                space_axis: Optional[str] = None):
+    """Place an NHWC image batch with B over ``data_axis`` and H over
+    ``space_axis`` (spatial parallelism).
+
+    With H sharded, GSPMD partitions every conv spatially and inserts the
+    halo exchanges (``collective-permute`` of kh//2 boundary rows per conv)
+    and turns GroupNorm/attention spatial reductions into psums — the whole
+    restore runs EXACTLY as on one device, with per-chip activation memory
+    cut by the shard count.  This is the capability the reference
+    approximates host-side with overlapping tiles (``utils_model.py:16-45``,
+    ``test_mode 2``), which is inexact at tile seams."""
+    spec = P(data_axis, space_axis, *([None] * (np.ndim(arr) - 2)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 

@@ -32,7 +32,8 @@ from diffpir_tpu.config import TaskConfig
 from diffpir_tpu.data import Batch, make_batches, prepare_images
 from diffpir_tpu.models.zoo import resolve_model
 from diffpir_tpu.ops.fft_prox import precompute
-from diffpir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diffpir_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                        shard_image)
 from diffpir_tpu.sampler import (
     diffpir_sample, init_x, make_cubic_sr_prox, make_denoiser, make_fft_prox,
     make_inpaint_prox,
@@ -131,18 +132,26 @@ class Runner:
             use_pallas=cfg.use_pallas, abstract=abstract_params)
 
         self.mesh = None
+        self.mesh_axes: tuple[str, ...] = ()
         if use_mesh and len(jax.devices()) > 1:
             shape = None if cfg.mesh_shape is None else tuple(cfg.mesh_shape)
-            if shape is not None and len(shape) == 2:
-                # dp x tp: batch over "data", Megatron-style parameter
-                # sharding over "model" (parallel/tp.py) — the 553M imagenet
-                # flagship stops having to fit one chip
+            if cfg.mesh_axes is not None:
+                axes = tuple(cfg.mesh_axes)
+            else:
+                # legacy defaults: 1-D = dp, 2-D [D, M] = dp x Megatron TP
+                axes = ("data",) if shape is None or len(shape) == 1 \
+                    else ("data", "model")
+            self.mesh = make_mesh(shape, axis_names=axes)
+            self.mesh_axes = axes
+            if "model" in axes:
+                # Megatron-style parameter sharding over "model"
+                # (parallel/tp.py) — the 553M imagenet flagship stops having
+                # to fit one chip
                 from jax.sharding import NamedSharding
 
                 from diffpir_tpu.parallel.tp import (
                     shard_unet_params, unet_tp_specs)
 
-                self.mesh = make_mesh(shape, axis_names=("data", "model"))
                 if abstract_params:
                     # attach shardings without materializing anything —
                     # lower_restore() validates propagation at full scale
@@ -157,7 +166,8 @@ class Runner:
                     params = shard_unet_params(params, self.mesh,
                                                self.module.cfg)
             else:
-                self.mesh = make_mesh(shape)
+                # dp and/or sp: params replicated; "space" shards
+                # ACTIVATIONS on image height (parallel/mesh.py:shard_image)
                 if abstract_params:
                     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -305,17 +315,19 @@ class Runner:
         cfg = self.cfg
         plan = self._plan(cfg.lambda_, cfg.zeta)
         fn = self._restore_fn(plan, cfg.zeta, cfg.lambda_)
+        img_sh = kern_sh = None
         if self.mesh is not None:
-            data = NamedSharding(self.mesh, PartitionSpec("data"))
-        else:
-            data = None
+            d = "data" if "data" in self.mesh_axes else None
+            s = "space" if "space" in self.mesh_axes else None
+            img_sh = NamedSharding(self.mesh, PartitionSpec(d, s))
+            kern_sh = NamedSharding(self.mesh, PartitionSpec(d))
 
-        def arg(shape):
-            return jax.ShapeDtypeStruct(shape, jnp.float32, sharding=data)
+        def arg(shape, sh):
+            return jax.ShapeDtypeStruct(shape, jnp.float32, sharding=sh)
 
-        y = arg((batch, height, width, cfg.n_channels))
-        kern = arg((batch,) + tuple(kernel_hw))
-        mask = arg((batch, height, width, cfg.n_channels))
+        y = arg((batch, height, width, cfg.n_channels), img_sh)
+        kern = arg((batch,) + tuple(kernel_hw), kern_sh)
+        mask = arg((batch, height, width, cfg.n_channels), img_sh)
         return fn.lower(self.params, y, kern, mask,
                         jax.random.PRNGKey(0), None)
 
@@ -346,11 +358,14 @@ class Runner:
         mask = jnp.asarray(batch.mask)
         init = None if batch.init is None else jnp.asarray(batch.init)
         if self.mesh is not None:
-            y = shard_batch(y, self.mesh)
-            kern = shard_batch(kern, self.mesh)
-            mask = shard_batch(mask, self.mesh)
+            d = "data" if "data" in self.mesh_axes else None
+            s = "space" if "space" in self.mesh_axes else None
+            y = shard_image(y, self.mesh, d, s)
+            mask = shard_image(mask, self.mesh, d, s)
+            # PSF kernels are tiny: batch-sharded only, never spatially
+            kern = shard_batch(kern, self.mesh, d)
             if init is not None:
-                init = shard_batch(init, self.mesh)
+                init = shard_image(init, self.mesh, d, s)
         out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed), init)
         if not fetch:
             return out
@@ -574,6 +589,25 @@ def dryrun_restore(n_devices: int) -> None:
                   f"({n_devices // 4}x4): OK (parity vs dp)")
         if task == "inpaint":
             inpaint_ctx = (cfg, runner, batch, out)
+            if n_devices % 2 == 0:
+                # sp: activations sharded on image height (GSPMD conv halo
+                # exchanges, parallel/mesh.py:shard_image) — dp x sp, and
+                # the full 3-D dp x tp x sp composition when 8 devices
+                sp_meshes = [((n_devices // 2, 2), ("data", "space"))]
+                if n_devices % 8 == 0:
+                    sp_meshes.append(((n_devices // 4, 2, 2),
+                                      ("data", "model", "space")))
+                for shape_sp, axes_sp in sp_meshes:
+                    cfg_sp = load_config(None, overrides=dict(
+                        task=task, model_name="tiny_test", iter_num=2,
+                        iter_num_U=1, batch_size=n_devices,
+                        noise_level_img=0.0, seed=0, dtype="float32",
+                        save_L=False, save_E=False,
+                        mesh_shape=shape_sp, mesh_axes=axes_sp))
+                    out_sp = Runner(cfg_sp, use_mesh=True).restore_batch(batch)
+                    np.testing.assert_allclose(out_sp, out, rtol=0, atol=5e-5)
+                    print(f"dryrun_restore: {task} "
+                          f"{' x '.join(axes_sp)}{shape_sp}: OK (parity vs dp)")
 
     # deployment stage 1: exported mesh bundle executes on the virtual mesh
     # and reproduces the live runner (export.py records per-leaf
@@ -612,4 +646,4 @@ def dryrun_restore(n_devices: int) -> None:
     assert outs[0].shape == batch.img_L[0].shape
     print(f"dryrun_restore: serve coalescing({n_devices}): OK")
     print(f"dryrun_restore({n_devices}): OK "
-          "(3-task dp + 3-task dp x tp + bundle + serve)")
+          "(3-task dp + 3-task dp x tp + sp + dp x tp x sp + bundle + serve)")
