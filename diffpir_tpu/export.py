@@ -121,7 +121,7 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
     lambda_ = cfg.lambda_ if lambda_ is None else lambda_
     zeta = cfg.zeta if zeta is None else zeta
     plan = runner._plan(lambda_, zeta)
-    base = runner._restore_fn(plan, zeta, lambda_)
+    base = runner._restore_fn()
 
     # the exported calling convention takes params as a FLAT LIST of arrays
     # (matching the npz bundle layout) so the serving process never needs the
@@ -130,8 +130,10 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
 
     def fn(params_flat, y, kern, mask, key_data):
         params = jax.tree_util.tree_unflatten(treedef, params_flat)
-        # key_data is a raw (2,) uint32 array == old-style PRNGKey
-        out = base(params, y, kern, mask, key_data, None)
+        # key_data is a raw (2,) uint32 array == old-style PRNGKey.
+        # plan/zeta/lambda ARE baked as constants here, deliberately: an AOT
+        # bundle ships one fixed operating point
+        out = base(params, y, kern, mask, key_data, None, plan, zeta, lambda_)
         return out[0] if isinstance(out, tuple) else out
 
     structs = _example_structs(runner, batch=batch, height=height, width=width,

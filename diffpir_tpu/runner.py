@@ -223,8 +223,16 @@ class Runner:
             t_start=self.t_start, noise_model_t=self.noise_model_t,
             rho_mode=rho_mode)
 
-    def _restore_fn(self, plan, zeta: float, lambda_: float):
-        """Build the jitted whole-batch restore function for the current task."""
+    def _restore_fn(self):
+        """Build the jitted whole-batch restore function for the current task.
+
+        ``plan`` (the lambda/zeta-derived per-step tables), ``zeta`` and
+        ``lambda_`` are RUNTIME arguments, not closed-over constants: their
+        shapes are sweep-invariant, so one compiled program serves every
+        (lambda, zeta) point of ``--sweep`` / ``restore_batch`` — previously
+        each sweep value baked new constants and forced a full recompile
+        (~15 min/point through the axon tunnel).
+        """
         cfg = self.cfg
         task = cfg.task
         sa0 = float(self.schedule.sqrt_alphas_cumprod[self.t_start])
@@ -234,7 +242,7 @@ class Runner:
             return lambda xv, tv: self._apply(
                 params, xv.astype(self.den.compute_dtype), tv)
 
-        def restore(params, y, kernel, mask, key, init=None):
+        def restore(params, y, kernel, mask, key, init, plan, zeta, lambda_):
             import dataclasses as _dc
 
             from diffpir_tpu.guidance import (
@@ -314,7 +322,7 @@ class Runner:
 
         cfg = self.cfg
         plan = self._plan(cfg.lambda_, cfg.zeta)
-        fn = self._restore_fn(plan, cfg.zeta, cfg.lambda_)
+        fn = self._restore_fn()
         img_sh = kern_sh = None
         if self.mesh is not None:
             d = "data" if "data" in self.mesh_axes else None
@@ -329,7 +337,8 @@ class Runner:
         kern = arg((batch,) + tuple(kernel_hw), kern_sh)
         mask = arg((batch, height, width, cfg.n_channels), img_sh)
         return fn.lower(self.params, y, kern, mask,
-                        jax.random.PRNGKey(0), None)
+                        jax.random.PRNGKey(0), None, plan,
+                        cfg.zeta, cfg.lambda_)
 
     def restore_batch(self, batch: Batch, lambda_: Optional[float] = None,
                       zeta: Optional[float] = None, seed: int = 0,
@@ -347,11 +356,13 @@ class Runner:
                 "materialized) — only lower_restore() is available")
         lambda_ = cfg.lambda_ if lambda_ is None else lambda_
         zeta = cfg.zeta if zeta is None else zeta
-        key = (lambda_, zeta, batch.img_L.shape, batch.kernel.shape)
-        if key not in self._restore_jit:
-            plan = self._plan(lambda_, zeta)
-            self._restore_jit[key] = self._restore_fn(plan, zeta, lambda_)
-        fn = self._restore_jit[key]
+        # one jitted program per Runner: lambda/zeta ride in as runtime
+        # arguments (plan tables + scalars), so a sweep never recompiles —
+        # jit itself retraces on new SHAPES (batch size, image size) only
+        if not self._restore_jit:
+            self._restore_jit["fn"] = self._restore_fn()
+        fn = self._restore_jit["fn"]
+        plan = self._plan(lambda_, zeta)
 
         y = jnp.asarray(batch.img_L)
         kern = jnp.asarray(batch.kernel)
@@ -366,7 +377,8 @@ class Runner:
             kern = shard_batch(kern, self.mesh, d)
             if init is not None:
                 init = shard_image(init, self.mesh, d, s)
-        out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed), init)
+        out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed), init,
+                 plan, zeta, lambda_)
         if not fetch:
             return out
         if isinstance(out, tuple):  # (restored, progress frames)

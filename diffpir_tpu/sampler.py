@@ -320,8 +320,11 @@ def diffpir_sample(
     # the reference runs the data prox ONLY in DiffPIR mode; repaint conditions
     # purely via noised-known-pixel injection (main_ddpir.py:384-386)
     use_prox = generate_mode == "DiffPIR" and prox_fn is not None
-    sqrt_zeta = float(np.sqrt(zeta))
-    sqrt_1m_zeta = float(np.sqrt(1.0 - zeta))
+    # zeta may be a traced scalar (runner passes it as a jit argument so
+    # lambda/zeta sweeps reuse one compiled program) — keep the sqrt in-graph
+    zeta = jnp.asarray(zeta, jnp.float32)
+    sqrt_zeta = jnp.sqrt(zeta)
+    sqrt_1m_zeta = jnp.sqrt(1.0 - zeta)
     y2 = None if y is None else (2.0 * y - 1.0).astype(jnp.float32)
 
     def one_u(x: jnp.ndarray, s: dict, key: jax.Array, u: int, last_u: bool):

@@ -271,6 +271,27 @@ class TrajectoryPlan:
         return int(self.t.shape[0])
 
 
+# Registered as a JAX pytree so a plan can cross a ``jax.jit`` boundary as a
+# RUNTIME argument: the lambda/zeta-dependent tables (rho, eta_sigma, ...)
+# then live in device buffers instead of being baked into the compiled
+# program as constants — one compile serves every (lambda, zeta) sweep point
+# (the reference re-derives them on host per step, ``main_ddpir.py:274-286``).
+# Shapes stay static (n_steps is lambda-independent), so tracing still sees a
+# fixed scan length via ``.shape[0]``.
+def _register_plan_pytree() -> None:
+    import jax.tree_util as jtu
+
+    fields = [f.name for f in dataclasses.fields(TrajectoryPlan)]
+    jtu.register_pytree_node(
+        TrajectoryPlan,
+        lambda p: (tuple(getattr(p, f) for f in fields), None),
+        lambda _, ch: TrajectoryPlan(**dict(zip(fields, ch))),
+    )
+
+
+_register_plan_pytree()
+
+
 def build_plan(
     schedule: NoiseSchedule,
     *,

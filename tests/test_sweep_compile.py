@@ -1,0 +1,64 @@
+"""Sweeps must not recompile: (lambda, zeta) are runtime arguments.
+
+The reference re-derives rho et al. on host every step (main_ddpir.py:274-286)
+and its sweep loop (main_ddpir.py:200-210) simply reruns everything; here the
+whole-trajectory program is compiled ONCE per shape and every sweep point
+rides in through the TrajectoryPlan pytree + scalar args.  Before this held,
+each ``--sweep`` value was a full recompile (~15 min/point through the axon
+remote-TPU tunnel).
+"""
+
+import numpy as np
+import pytest
+
+from diffpir_tpu.config import load_config
+from diffpir_tpu.data import Batch
+from diffpir_tpu.runner import Runner
+
+
+def _batch(task: str) -> Batch:
+    rng = np.random.default_rng(0)
+    img = rng.random((2, 32, 32, 3), np.float32)
+    if task == "inpaint":
+        mask = (rng.random((2, 32, 32, 3)) > 0.5).astype(np.float32)
+        kern = np.ones((2, 1, 1), np.float32)
+        img_l = img * mask
+    else:
+        mask = np.ones((2, 32, 32, 3), np.float32)
+        kern = np.full((2, 5, 5), 1.0 / 25.0, np.float32)
+        img_l = img
+    return Batch(img_H=(img * 255).astype(np.uint8), img_L=img_l,
+                 kernel=kern, mask=mask, names=["a", "b"])
+
+
+@pytest.mark.parametrize("yaml,task", [
+    ("configs/demo256_inpaint.yaml", "inpaint"),
+    ("configs/demo256_deblur.yaml", "deblur"),
+])
+def test_sweep_single_compile(yaml, task):
+    cfg = load_config(yaml, overrides={
+        "model_name": "tiny_test", "iter_num": 5, "noise_level_img": 12.75})
+    r = Runner(cfg, use_mesh=False)
+    b = _batch(task)
+
+    outs = [r.restore_batch(b, lambda_=lam, zeta=z)
+            for lam, z in [(0.05, 0.25), (80.0, 0.25), (0.05, 0.9)]]
+    fn = r._restore_jit["fn"]
+    assert fn._cache_size() == 1, "sweep points must share ONE compiled program"
+    # and the sweep arguments must actually flow into the computation.  The
+    # inpaint prox is the identity on unknown pixels (mask=0) so lambda's
+    # effect through a random tiny prior is indirect and small — assert
+    # strictly-nonzero there, magnitude on deblur (rho enters the FFT solve).
+    lam_tol = 1e-4 if task == "deblur" else 0.0
+    assert np.abs(outs[0] - outs[1]).max() > lam_tol   # lambda (rho tables)
+    assert np.abs(outs[0] - outs[2]).max() > 1e-4      # zeta (renoise mix)
+
+
+def test_same_point_is_deterministic():
+    cfg = load_config("configs/demo256_inpaint.yaml", overrides={
+        "model_name": "tiny_test", "iter_num": 5})
+    r = Runner(cfg, use_mesh=False)
+    b = _batch("inpaint")
+    o1 = r.restore_batch(b, lambda_=7.0, seed=3)
+    o2 = r.restore_batch(b, lambda_=7.0, seed=3)
+    np.testing.assert_array_equal(o1, o2)
