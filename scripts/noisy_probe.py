@@ -8,8 +8,11 @@ Usage: python scripts/noisy_probe.py [task ...]   (default: all three)
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from diffpir_tpu.config import load_config
 from diffpir_tpu.runner import Runner
@@ -37,7 +40,7 @@ def main() -> None:
         yaml, points = SWEEPS[task]
         cfg = load_config(yaml, overrides={
             "noise_level_img": 12.75, "save_E": False, "save_L": False,
-            "save_LEH": False, "save_progressive": False})
+            "save_LEH": False})
         runner = Runner(cfg)
         for lam, zeta in points:
             t0 = time.time()
