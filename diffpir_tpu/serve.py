@@ -135,20 +135,32 @@ class RestorationService:
                     raise RequestError(
                         f"mask[{i}]: must be binary 0/1 (found {vals[:5]})")
 
+    @staticmethod
+    def _validate_point(lambda_: Optional[float], zeta: Optional[float]) -> None:
+        if lambda_ is not None and not (np.isfinite(lambda_) and lambda_ > 0):
+            raise RequestError(f"lambda_ must be finite and > 0, got {lambda_}")
+        if zeta is not None and not (np.isfinite(zeta) and 0.0 <= zeta <= 1.0):
+            raise RequestError(f"zeta must be in [0, 1], got {zeta}")
+
     # ------------------------------------------------------------------
     def restore(self, images: Sequence[np.ndarray],
                 kernels: Optional[Sequence[np.ndarray]] = None,
                 masks: Optional[Sequence[np.ndarray]] = None,
-                seed: int = 0) -> list[np.ndarray]:
+                seed: int = 0, lambda_: Optional[float] = None,
+                zeta: Optional[float] = None) -> list[np.ndarray]:
         """Restore degraded images (each (h, w, C) float [0,1]).
 
         kernels: per-image PSFs for deblur/SR (defaults to the config's
         kernel source); masks: per-image {0,1} masks for inpainting.
+        lambda_/zeta override the config's operating point for this call —
+        free at serve time, because the compiled program takes the
+        (lambda, zeta)-derived tables as runtime arguments.
         Requests are grouped by image shape, chunked into the service batch
         size, and the tail chunk is padded by repetition so every launch hits
         a warm compiled program.  Thread-safe.
         """
         self._validate(images, kernels, masks)
+        self._validate_point(lambda_, zeta)
         n = len(images)
         outs: list[Optional[np.ndarray]] = [None] * n
         by_shape: dict[tuple, list[int]] = {}
@@ -216,7 +228,7 @@ class RestorationService:
             batch, padded_h = prep(chunk, ph, pw, pad_mode)
             with self._lock:
                 restored = self.runner.restore_batch(
-                    batch, seed=seed + chunk_no, fetch=False)
+                    batch, lambda_, zeta, seed=seed + chunk_no, fetch=False)
             if pending is not None:
                 consume(*pending)
             pending = (chunk, hw, bool(ph or pw), padded_h, restored)
@@ -249,18 +261,23 @@ class RestorationService:
     # ------------------------------------------------------------------
     def submit(self, image: np.ndarray,
                kernel: Optional[np.ndarray] = None,
-               mask: Optional[np.ndarray] = None) -> "Future[np.ndarray]":
+               mask: Optional[np.ndarray] = None,
+               lambda_: Optional[float] = None,
+               zeta: Optional[float] = None) -> "Future[np.ndarray]":
         """Enqueue one request; returns a Future for the restored image.
 
         A background worker coalesces queued requests into full service
         batches, waiting at most ``max_wait_ms`` to fill one — concurrent
         callers share compiled batch launches instead of serializing
-        one-image batches.
+        one-image batches.  lambda_/zeta set this request's operating point
+        (data-fidelity weight / renoise mix); requests at the same point
+        coalesce together, and every point shares the ONE compiled program.
         """
         self._validate([image], None if kernel is None else [kernel],
                        None if mask is None else [mask])
+        self._validate_point(lambda_, zeta)
         fut: "Future[np.ndarray]" = Future()
-        self._queue.put((image, kernel, mask, fut))
+        self._queue.put((image, kernel, mask, lambda_, zeta, fut))
         # enqueue BEFORE ensuring the worker: if a racing close() stops the
         # worker, its queue sweep resolves this future instead of stranding it
         self._ensure_worker()
@@ -315,27 +332,32 @@ class RestorationService:
                     group.append(self._queue.get(timeout=remain))
                 except queue.Empty:
                     break
-            # requests with and without kernels/masks can't share one batch —
-            # partition so an unusual request can't poison its neighbors
+            # requests with and without kernels/masks can't share one batch,
+            # and (lambda, zeta) is a per-batch scalar — partition so an
+            # unusual request can't poison its neighbors.  Distinct operating
+            # points mean separate LAUNCHES, never separate compiles.
             subgroups: dict[tuple, list] = {}
             for g in group:
                 subgroups.setdefault(
-                    (g[1] is not None, g[2] is not None), []).append(g)
+                    (g[1] is not None, g[2] is not None, g[3], g[4]),
+                    []).append(g)
             for sub in subgroups.values():
                 images = [g[0] for g in sub]
                 kernels = [g[1] for g in sub] if sub[0][1] is not None else None
                 masks = [g[2] for g in sub] if sub[0][2] is not None else None
+                lam, zeta = sub[0][3], sub[0][4]
                 # unique seed block per launch — coalesced batches must not
                 # reuse the same diffusion noise stream across requests
                 with self._wlock:
                     self._seed_tick += 1
                     seed = self._seed_tick << 12
                 try:
-                    results = self.restore(images, kernels, masks, seed=seed)
-                    for (_, _, _, fut), out in zip(sub, results):
+                    results = self.restore(images, kernels, masks, seed=seed,
+                                           lambda_=lam, zeta=zeta)
+                    for (*_, fut), out in zip(sub, results):
                         fut.set_result(out)
                 except Exception as e:  # pragma: no cover
-                    for _, _, _, fut in sub:
+                    for *_, fut in sub:
                         if not fut.done():
                             fut.set_exception(e)
 

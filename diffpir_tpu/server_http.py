@@ -18,6 +18,9 @@ Endpoints
       response is an npz archive with ``restored``.
     - ``Content-Type: image/png``: body is the degraded PNG; response is the
       restored PNG (demo-friendly path; kernels/masks default per task).
+    - optional ``?lambda=<float>&zeta=<float>`` query params set this
+      request's operating point (data-fidelity weight / renoise mix);
+      requests at different points still share one compiled program.
 
 Run: ``python -m diffpir_tpu.server_http --opt configs/<task>.yaml --port 8000``
 or embed via ``start_server(service, port)`` which returns the live
@@ -156,7 +159,10 @@ def make_handler(service: RestorationService, stats: _Stats,
                 self._send_json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path != "/restore":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/restore":
                 self._send_json(404, {"error": f"no route {self.path}"})
                 return
             t0 = time.perf_counter()
@@ -179,8 +185,23 @@ def make_handler(service: RestorationService, stats: _Stats,
                     raise RequestError(
                         f"unsupported Content-Type {ctype!r} (use "
                         "application/x-npz or image/png)")
+                # per-request operating point: ?lambda=&zeta= query params
+                # (free: the compiled program takes them as runtime args)
+                q = parse_qs(url.query)
+
+                def _qfloat(name):
+                    if name not in q:
+                        return None
+                    try:
+                        return float(q[name][0])
+                    except ValueError:
+                        raise RequestError(
+                            f"query param {name}={q[name][0]!r} is not a float")
+
                 # submit -> coalescing worker batches concurrent requests
-                fut = service.submit(image, kernel=kernel, mask=mask)
+                fut = service.submit(image, kernel=kernel, mask=mask,
+                                     lambda_=_qfloat("lambda"),
+                                     zeta=_qfloat("zeta"))
                 restored = fut.result(timeout=timeout_s)
                 stats.record(1, time.perf_counter() - t0)
                 if as_png:

@@ -262,3 +262,30 @@ def test_service_refuses_random_weights(tiny_env):
     with pytest.raises(RuntimeError, match="random"):
         serve_folder(_cfg(tiny_env), str(tiny_env / "testsets" / "tiny"),
                      str(tiny_env / "out"), use_mesh=False)
+
+
+def test_per_request_operating_point(tiny_env):
+    """(lambda, zeta) per request: distinct points give distinct outputs but
+    share ONE compiled program (they ride in as runtime jit arguments)."""
+    svc = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False,
+                             allow_random_weights=True, service_batch=2)
+    rng = np.random.default_rng(7)
+    img = rng.random((IMG, IMG, 3)).astype(np.float32)
+    k = np.full((5, 5), 1.0 / 25.0, np.float32)
+
+    futs = [svc.submit(img, kernel=k, lambda_=lam) for lam in (0.01, 400.0)]
+    o_lo, o_hi = (f.result(timeout=600) for f in futs)
+    svc.close()
+    assert np.abs(o_lo - o_hi).max() > 1e-3
+    assert svc.runner._restore_jit["fn"]._cache_size() == 1
+
+    # same point, restore() path — zeta override flows too
+    r1 = svc.restore([img], kernels=[k], zeta=0.0)[0]
+    r2 = svc.restore([img], kernels=[k], zeta=1.0)[0]
+    assert np.abs(r1 - r2).max() > 1e-3
+
+    from diffpir_tpu.serve import RequestError
+    for bad in (dict(lambda_=-1.0), dict(lambda_=float("nan")),
+                dict(zeta=1.5), dict(zeta=-0.1)):
+        with pytest.raises(RequestError):
+            svc.submit(img, kernel=k, **bad)

@@ -209,3 +209,39 @@ def test_oversized_body_rejected_with_413():
     finally:
         httpd.shutdown()
         service.close()
+
+
+def test_query_param_operating_point(server):
+    """?lambda=&zeta= set the request's operating point; bad values are 400."""
+    url, service = server
+    rng = np.random.default_rng(5)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    mask = (rng.random((32, 32, 3)) > 0.5).astype(np.float32)
+    body = _npz_body(img * mask, mask=mask)
+    size_before = service.runner._restore_jit["fn"]._cache_size() \
+        if service.runner._restore_jit else 0
+
+    # zeta changes the renoise mix -> output must differ; same program serves
+    outs = []
+    for q in ("?lambda=7.0&zeta=0.0", "?lambda=7.0&zeta=1.0"):
+        req = urllib.request.Request(url + "/restore" + q, data=body,
+                                     method="POST",
+                                     headers={"Content-Type": "application/x-npz"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                outs.append(np.asarray(z["restored"]))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+    # other tests may have compiled other request SHAPES on this shared
+    # service; the two operating points must not have added any entry beyond
+    # (at most) this test's own 32x32 shape
+    grew = service.runner._restore_jit["fn"]._cache_size() - size_before
+    assert grew <= 1
+
+    req = urllib.request.Request(url + "/restore?lambda=bogus", data=body,
+                                 method="POST",
+                                 headers={"Content-Type": "application/x-npz"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
