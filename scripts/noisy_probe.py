@@ -38,9 +38,13 @@ def main() -> None:
     results = {}
     for task in tasks:
         yaml, points = SWEEPS[task]
-        cfg = load_config(yaml, overrides={
-            "noise_level_img": 12.75, "save_E": False, "save_L": False,
-            "save_LEH": False})
+        over = {"noise_level_img": 12.75, "save_E": False, "save_L": False,
+                "save_LEH": False}
+        if task == "inpaint":
+            # at sigma_y > 0 recover_known pastes the NOISY observed pixels
+            # into the output; measure without it (as the coarse probe did)
+            over["recover_known"] = False
+        cfg = load_config(yaml, overrides=over)
         runner = Runner(cfg)
         for lam, zeta in points:
             t0 = time.time()
