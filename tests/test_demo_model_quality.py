@@ -190,3 +190,27 @@ def test_demo256_deblur_quality():
 def test_demo256_sr_quality():
     res = _demo256_eval("demo256_sisr.yaml", {})
     assert res["psnr"] > 24.0, res
+
+
+def test_demo64_noisy_deblur_quality():
+    """sigma_y = 0.05 (noise_level_img 12.75): the setting of the reference's
+    published tables.  Measurement noise enters the rho tables
+    (rho = lambda*sigma_y^2/sigma_k^2, main_ddpir.py:274-286) and the
+    observation itself; this pins the noisy path end to end with a trained
+    prior.  Operating point from a (lambda, zeta) sweep on the shipped
+    50-NFE config (scripts/noisy_probe.py pattern): lambda=10, zeta=1.0
+    measured 37.33 dB / 0.962 (lambda is a runtime jit arg, so the sweep
+    shares one compile)."""
+    demo64 = os.path.join(os.path.dirname(DEMO), "demo64_hq.flax.npz")
+    if not os.path.exists(demo64):
+        pytest.skip("demo64_hq not trained yet")
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "demo64_deblur.yaml"),
+                      dict(cwd=repo, save_E=False, save_L=False,
+                           noise_level_img=12.75, lambda_=10.0))
+    res = Runner(cfg, use_mesh=False).evaluate(save=False)
+    assert res["psnr"] > 35.0, res
+    assert res["ssim"] > 0.93, res
