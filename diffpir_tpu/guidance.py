@@ -97,6 +97,13 @@ def dps_sample(
     s1m_tab = jnp.asarray(plan.sqrt_1m_acp_t)
     n = plan.n_steps
     measurement_static = y if task == "deblur" else 2.0 * y - 1.0
+    # lambda may be per-sample (B,): the plan is then built with lambda=1 and
+    # rho scaled in-graph.  As in the reference, lambda cancels against the
+    # rho it was built into (config.lambda_ is mutated before test_rho,
+    # main_ddpir.py:443) — the per-sample form keeps that exact structure.
+    lam = jnp.asarray(lambda_, jnp.float32)
+    per_sample = lam.ndim == 1
+    lam_b = lam.reshape(-1, 1, 1, 1) if per_sample else lam
 
     def p_sample_pair(x, t, k):
         b = x.shape[0]
@@ -123,7 +130,8 @@ def dps_sample(
             meas = y_t * 0.5 + 0.5 if task == "deblur" else y_t
             norm, grad = jax.value_and_grad(
                 lambda v: frobenius_residual(operator, v, meas))(xt)
-            x = xt - grad * lambda_ * norm / rho * 0.35
+            rho_eff = rho * lam_b if per_sample else rho
+            x = xt - grad * lam_b * norm / rho_eff * 0.35
         return x, None
 
     x, _ = jax.lax.scan(step, x_init, jnp.arange(n - 1))

@@ -260,6 +260,10 @@ class Runner:
                            sqrt_acp_start=sa0, sqrt_1m_acp_start=s1m0,
                            key=k_init, ty=self.ty_scale)
             hr_hw = (y.shape[1] * cfg.sf, y.shape[2] * cfg.sf)
+            # per-sample operating points: lambda (B,) means the plan was
+            # built with lambda=1 and rho is scaled in-graph (restore_batch
+            # arranges this); ndim is static at trace time
+            lam_scale = lambda_ if jnp.ndim(lambda_) == 1 else None
 
             if cfg.model_output_type == "pred_x_prev":
                 from diffpir_tpu.sampler import xprev_sample
@@ -273,7 +277,7 @@ class Runner:
                     self.diffusion, model_fn_with(params), plan, x, k_samp,
                     y=y if inpaint else None, mask=mask if inpaint else None,
                     ddim=cfg.ddim_sample,
-                    recover_known=cfg.recover_known)
+                    recover_known=cfg.recover_known, lam_scale=lam_scale)
 
             if cfg.generate_mode in ("DPS_y0", "DPS_yt"):
                 op = make_degrade_op(task, kernel=kernel, hr_hw=hr_hw, sf=cfg.sf)
@@ -303,7 +307,8 @@ class Runner:
                 den, prox, plan, x, k_samp, zeta=zeta,
                 iter_num_U=cfg.iter_num_U, generate_mode=cfg.generate_mode,
                 y=y, mask=mask, progress_slots=slots,
-                recover_known=(task == "inpaint" and cfg.recover_known))
+                recover_known=(task == "inpaint" and cfg.recover_known),
+                lam_scale=lam_scale)
 
         return jax.jit(restore)
 
@@ -358,11 +363,23 @@ class Runner:
         zeta = cfg.zeta if zeta is None else zeta
         # one jitted program per Runner: lambda/zeta ride in as runtime
         # arguments (plan tables + scalars), so a sweep never recompiles —
-        # jit itself retraces on new SHAPES (batch size, image size) only
+        # jit itself retraces on new SHAPES (batch size, image size) only.
+        # Either may also be PER-SAMPLE (length-B sequence): one launch then
+        # carries heterogeneous operating points (rho is linear in lambda, so
+        # the plan is built at lambda=1 and scaled in-graph); the vector form
+        # is a second (also sweep-stable) trace.
         if not self._restore_jit:
             self._restore_jit["fn"] = self._restore_fn()
         fn = self._restore_jit["fn"]
-        plan = self._plan(lambda_, zeta)
+        lam_arr = np.asarray(lambda_, np.float32)
+        zeta_arr = np.asarray(zeta, np.float32)
+        if lam_arr.ndim == 1 or zeta_arr.ndim == 1:
+            B = batch.img_L.shape[0]
+            lambda_ = np.broadcast_to(lam_arr, (B,)).astype(np.float32)
+            zeta = np.broadcast_to(zeta_arr, (B,)).astype(np.float32)
+            plan = self._plan(1.0, 0.0)
+        else:
+            plan = self._plan(float(lam_arr), float(zeta_arr))
 
         y = jnp.asarray(batch.img_L)
         kern = jnp.asarray(batch.kernel)
@@ -377,6 +394,10 @@ class Runner:
             kern = shard_batch(kern, self.mesh, d)
             if init is not None:
                 init = shard_image(init, self.mesh, d, s)
+            if np.ndim(lambda_) == 1:
+                # per-sample operating points ride with their batch rows
+                lambda_ = shard_batch(jnp.asarray(lambda_), self.mesh, d)
+                zeta = shard_batch(jnp.asarray(zeta), self.mesh, d)
         out = fn(self.params, y, kern, mask, jax.random.PRNGKey(seed), init,
                  plan, zeta, lambda_)
         if not fetch:

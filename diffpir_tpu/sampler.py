@@ -228,6 +228,7 @@ def xprev_sample(
     mask: Optional[jnp.ndarray] = None,
     ddim: bool = False,
     recover_known: bool = True,
+    lam_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """``model_output_type='pred_x_prev'`` trajectories.
 
@@ -246,6 +247,9 @@ def xprev_sample(
     prox_tab = jnp.asarray(plan.prox)
     y2 = None if y is None else (2.0 * y - 1.0).astype(jnp.float32)
     n = plan.n_steps
+    # optional per-sample lambda (rho is linear in lambda; see diffpir_sample)
+    lam_b = (None if lam_scale is None
+             else jnp.asarray(lam_scale, jnp.float32).reshape(-1, 1, 1, 1))
 
     def step(x, i):
         b = x.shape[0]
@@ -255,7 +259,7 @@ def xprev_sample(
                else diffusion.p_sample(model_fn, x, t_vec, k))
         x = out["sample"]
         if mask is not None:
-            tau = rho_tab[i]
+            tau = rho_tab[i] if lam_b is None else rho_tab[i] * lam_b
             x_p = (mask * y2 + tau * x) / (mask + tau)
             x = jnp.where(prox_tab[i] & (i < n - 1), x_p, x)
         return x, None
@@ -294,6 +298,7 @@ def diffpir_sample(
     mask: Optional[jnp.ndarray] = None,
     recover_known: bool = False,
     progress_slots: Optional[np.ndarray] = None,
+    lam_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the full DiffPIR trajectory; returns the restored image in [0, 1].
 
@@ -321,10 +326,19 @@ def diffpir_sample(
     # purely via noised-known-pixel injection (main_ddpir.py:384-386)
     use_prox = generate_mode == "DiffPIR" and prox_fn is not None
     # zeta may be a traced scalar (runner passes it as a jit argument so
-    # lambda/zeta sweeps reuse one compiled program) — keep the sqrt in-graph
+    # lambda/zeta sweeps reuse one compiled program) — keep the sqrt in-graph.
+    # It may also be PER-SAMPLE (B,): one batch carrying heterogeneous
+    # operating points (coalesced serving requests / single-launch lambda
+    # grids); same for lam_scale, which scales the plan's rho tables (rho is
+    # linear in lambda, main_ddpir.py:274-286 — per-sample plans are built
+    # with lambda=1 and scaled in-graph).
     zeta = jnp.asarray(zeta, jnp.float32)
+    if zeta.ndim:
+        zeta = zeta.reshape(-1, 1, 1, 1)
     sqrt_zeta = jnp.sqrt(zeta)
     sqrt_1m_zeta = jnp.sqrt(1.0 - zeta)
+    lam_b = (None if lam_scale is None
+             else jnp.asarray(lam_scale, jnp.float32).reshape(-1, 1, 1, 1))
     y2 = None if y is None else (2.0 * y - 1.0).astype(jnp.float32)
 
     def one_u(x: jnp.ndarray, s: dict, key: jax.Array, u: int, last_u: bool):
@@ -336,7 +350,8 @@ def diffpir_sample(
 
         x0 = denoise_x0(den, x, s["t"])
         if use_prox:
-            x0 = jnp.where(s["prox"], prox_fn(x0, s["rho"]), x0)
+            tau = s["rho"] if lam_b is None else s["rho"] * lam_b
+            x0 = jnp.where(s["prox"], prox_fn(x0, tau), x0)
 
         # DDIM-like renoise to t_{i-1}.  The reference gate is
         # `not (seq[i] == seq[-1] and u == iter_num_U-1)` (main_ddpir.py:448):

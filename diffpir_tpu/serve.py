@@ -136,11 +136,17 @@ class RestorationService:
                         f"mask[{i}]: must be binary 0/1 (found {vals[:5]})")
 
     @staticmethod
-    def _validate_point(lambda_: Optional[float], zeta: Optional[float]) -> None:
-        if lambda_ is not None and not (np.isfinite(lambda_) and lambda_ > 0):
-            raise RequestError(f"lambda_ must be finite and > 0, got {lambda_}")
-        if zeta is not None and not (np.isfinite(zeta) and 0.0 <= zeta <= 1.0):
-            raise RequestError(f"zeta must be in [0, 1], got {zeta}")
+    def _validate_point(lambda_, zeta) -> None:
+        """lambda_/zeta: None, scalar, or per-image sequence."""
+        if lambda_ is not None:
+            lam = np.atleast_1d(np.asarray(lambda_, np.float64))
+            if not (np.isfinite(lam).all() and (lam > 0).all()):
+                raise RequestError(
+                    f"lambda_ must be finite and > 0, got {lambda_}")
+        if zeta is not None:
+            z = np.atleast_1d(np.asarray(zeta, np.float64))
+            if not (np.isfinite(z).all() and ((z >= 0) & (z <= 1)).all()):
+                raise RequestError(f"zeta must be in [0, 1], got {zeta}")
 
     # ------------------------------------------------------------------
     def restore(self, images: Sequence[np.ndarray],
@@ -152,15 +158,22 @@ class RestorationService:
 
         kernels: per-image PSFs for deblur/SR (defaults to the config's
         kernel source); masks: per-image {0,1} masks for inpainting.
-        lambda_/zeta override the config's operating point for this call —
-        free at serve time, because the compiled program takes the
-        (lambda, zeta)-derived tables as runtime arguments.
+        lambda_/zeta override the config's operating point — a scalar for the
+        whole call or a PER-IMAGE sequence (one batch then carries
+        heterogeneous operating points).  Free at serve time either way: the
+        compiled program takes the (lambda, zeta)-derived tables as runtime
+        arguments.
         Requests are grouped by image shape, chunked into the service batch
         size, and the tail chunk is padded by repetition so every launch hits
         a warm compiled program.  Thread-safe.
         """
         self._validate(images, kernels, masks)
         self._validate_point(lambda_, zeta)
+        for name, v in (("lambda_", lambda_), ("zeta", zeta)):
+            if v is not None and np.ndim(v) == 1 and len(v) != len(images):
+                raise RequestError(
+                    f"per-image {name} must match images 1:1 "
+                    f"(got {len(v)} for {len(images)} images)")
         n = len(images)
         outs: list[Optional[np.ndarray]] = [None] * n
         by_shape: dict[tuple, list[int]] = {}
@@ -224,11 +237,20 @@ class RestorationService:
             for j, o in zip(chunk, out):
                 outs[j] = o
 
+        def per_chunk(v, chunk):
+            # slice a per-image vector to this chunk's rows, padding the tail
+            # by repetition exactly as prep() pads the images
+            if v is None or np.ndim(v) != 1:
+                return v
+            idxs = chunk + [chunk[0]] * (self.batch - len(chunk))
+            return np.asarray([v[j] for j in idxs], np.float32)
+
         for chunk_no, (chunk, hw, ph, pw, pad_mode) in enumerate(chunks):
             batch, padded_h = prep(chunk, ph, pw, pad_mode)
             with self._lock:
                 restored = self.runner.restore_batch(
-                    batch, lambda_, zeta, seed=seed + chunk_no, fetch=False)
+                    batch, per_chunk(lambda_, chunk), per_chunk(zeta, chunk),
+                    seed=seed + chunk_no, fetch=False)
             if pending is not None:
                 consume(*pending)
             pending = (chunk, hw, bool(ph or pw), padded_h, restored)
@@ -270,8 +292,9 @@ class RestorationService:
         batches, waiting at most ``max_wait_ms`` to fill one — concurrent
         callers share compiled batch launches instead of serializing
         one-image batches.  lambda_/zeta set this request's operating point
-        (data-fidelity weight / renoise mix); requests at the same point
-        coalesce together, and every point shares the ONE compiled program.
+        (data-fidelity weight / renoise mix); requests with DIFFERENT points
+        still coalesce into one batch — operating points are per-sample
+        runtime arguments of the one compiled program.
         """
         self._validate([image], None if kernel is None else [kernel],
                        None if mask is None else [mask])
@@ -332,20 +355,27 @@ class RestorationService:
                     group.append(self._queue.get(timeout=remain))
                 except queue.Empty:
                     break
-            # requests with and without kernels/masks can't share one batch,
-            # and (lambda, zeta) is a per-batch scalar — partition so an
-            # unusual request can't poison its neighbors.  Distinct operating
-            # points mean separate LAUNCHES, never separate compiles.
+            # requests with and without kernels/masks can't share one batch —
+            # partition so an unusual request can't poison its neighbors.
+            # Heterogeneous (lambda, zeta) DO share a batch: operating points
+            # are per-SAMPLE runtime arguments, so mixed-point traffic
+            # coalesces into full launches instead of fragmenting.
             subgroups: dict[tuple, list] = {}
             for g in group:
                 subgroups.setdefault(
-                    (g[1] is not None, g[2] is not None, g[3], g[4]),
-                    []).append(g)
+                    (g[1] is not None, g[2] is not None), []).append(g)
             for sub in subgroups.values():
                 images = [g[0] for g in sub]
                 kernels = [g[1] for g in sub] if sub[0][1] is not None else None
                 masks = [g[2] for g in sub] if sub[0][2] is not None else None
-                lam, zeta = sub[0][3], sub[0][4]
+                lams = [g[3] for g in sub]
+                zetas = [g[4] for g in sub]
+                # all-default -> scalar path (the common case keeps its
+                # compiled form); any override -> per-image vectors
+                lam = (None if all(l is None for l in lams) else
+                       [self.cfg.lambda_ if l is None else l for l in lams])
+                zeta = (None if all(z is None for z in zetas) else
+                        [self.cfg.zeta if z is None else z for z in zetas])
                 # unique seed block per launch — coalesced batches must not
                 # reuse the same diffusion noise stream across requests
                 with self._wlock:

@@ -265,19 +265,41 @@ def test_service_refuses_random_weights(tiny_env):
 
 
 def test_per_request_operating_point(tiny_env):
-    """(lambda, zeta) per request: distinct points give distinct outputs but
-    share ONE compiled program (they ride in as runtime jit arguments)."""
+    """(lambda, zeta) per request: distinct points give distinct outputs,
+    coalesce into ONE batched launch (per-sample runtime arguments), and
+    never add compiled programs."""
     svc = RestorationService(_cfg(tiny_env, task="deblur"), use_mesh=False,
-                             allow_random_weights=True, service_batch=2)
+                             allow_random_weights=True, service_batch=2,
+                             max_wait_ms=200.0)
     rng = np.random.default_rng(7)
     img = rng.random((IMG, IMG, 3)).astype(np.float32)
     k = np.full((5, 5), 1.0 / 25.0, np.float32)
 
+    launches = []
+    orig = svc.runner.restore_batch
+
+    def counting(batch, lam=None, zeta=None, **kw):
+        launches.append(np.ndim(lam))
+        return orig(batch, lam, zeta, **kw)
+
+    svc.runner.restore_batch = counting
     futs = [svc.submit(img, kernel=k, lambda_=lam) for lam in (0.01, 400.0)]
     o_lo, o_hi = (f.result(timeout=600) for f in futs)
     svc.close()
+    svc.runner.restore_batch = orig
     assert np.abs(o_lo - o_hi).max() > 1e-3
-    assert svc.runner._restore_jit["fn"]._cache_size() == 1
+    # both requests shared one vector-lambda launch
+    assert launches == [1], launches
+    # and the vector output matches the same points run individually
+    s_lo = svc.restore([img], kernels=[k], lambda_=0.01)[0]
+    s_hi = svc.restore([img], kernels=[k], lambda_=400.0)[0]
+    # (service seeds differ between submit rounds and direct calls; compare
+    # through restore() with an explicit shared seed instead)
+    v = svc.restore([img, img], kernels=[k, k], lambda_=[0.01, 400.0], seed=9)
+    a = svc.restore([img, img], kernels=[k, k], lambda_=0.01, seed=9)
+    b = svc.restore([img, img], kernels=[k, k], lambda_=400.0, seed=9)
+    np.testing.assert_allclose(v[0], a[0], atol=1e-5)
+    np.testing.assert_allclose(v[1], b[1], atol=1e-5)
 
     # same point, restore() path — zeta override flows too
     r1 = svc.restore([img], kernels=[k], zeta=0.0)[0]
@@ -289,3 +311,5 @@ def test_per_request_operating_point(tiny_env):
                 dict(zeta=1.5), dict(zeta=-0.1)):
         with pytest.raises(RequestError):
             svc.submit(img, kernel=k, **bad)
+    with pytest.raises(RequestError):
+        svc.restore([img], kernels=[k], lambda_=[1.0, 2.0])  # 2 lams, 1 img

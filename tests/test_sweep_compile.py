@@ -62,3 +62,28 @@ def test_same_point_is_deterministic():
     o1 = r.restore_batch(b, lambda_=7.0, seed=3)
     o2 = r.restore_batch(b, lambda_=7.0, seed=3)
     np.testing.assert_array_equal(o1, o2)
+
+
+def test_per_sample_operating_points_match_scalar_rows():
+    """A batch may carry heterogeneous (lambda, zeta): row i of the vector
+    call must reproduce row i of the corresponding scalar call (noise is
+    positional, so identical seeds give identical per-row streams).  The
+    vector form is one additional trace, itself sweep-stable."""
+    cfg = load_config("configs/demo256_deblur.yaml", overrides={
+        "model_name": "tiny_test", "iter_num": 5, "noise_level_img": 12.75})
+    r = Runner(cfg, use_mesh=False)
+    b = _batch("deblur")
+
+    o_lo = r.restore_batch(b, lambda_=0.5, seed=3)
+    o_hi = r.restore_batch(b, lambda_=50.0, seed=3)
+    o_vec = r.restore_batch(b, lambda_=[0.5, 50.0], seed=3)
+    np.testing.assert_allclose(o_vec[0], o_lo[0], atol=2e-5)
+    np.testing.assert_allclose(o_vec[1], o_hi[1], atol=2e-5)
+
+    o_z = r.restore_batch(b, lambda_=0.5, zeta=0.3, seed=3)
+    o_zvec = r.restore_batch(b, lambda_=0.5, zeta=[1.0, 0.3], seed=3)
+    np.testing.assert_allclose(o_zvec[0], o_lo[0], atol=2e-5)
+    np.testing.assert_allclose(o_zvec[1], o_z[1], atol=2e-5)
+
+    # scalar + vector forms only; every point reused one of the two programs
+    assert r._restore_jit["fn"]._cache_size() == 2
