@@ -76,6 +76,18 @@ def main():
         else:
             results = runner.evaluate_sweep()
 
+    if len(results) > 1:
+        # sweeps share one compiled program (lambda/zeta are runtime jit
+        # args), so multi-point runs are routine — summarize them
+        best = max(results, key=lambda r: r["psnr"])
+        print("sweep summary:")
+        for r in results:
+            mark = "  <-- best" if r is best else ""
+            print(f"  lambda={r['lambda_']:g} zeta={r['zeta']:g}: "
+                  f"{r['psnr']:.2f} dB"
+                  + (f" / SSIM {r['ssim']:.4f}" if r.get("ssim") else "")
+                  + mark)
+
     if args.json:
         json.dump(results, sys.stdout, indent=2, default=float)
         print()
