@@ -87,3 +87,29 @@ def test_per_sample_operating_points_match_scalar_rows():
 
     # scalar + vector forms only; every point reused one of the two programs
     assert r._restore_jit["fn"]._cache_size() == 2
+
+
+def test_per_sample_lambda_under_mesh():
+    """The per-sample vector rides the mesh 'data' axis with its batch rows
+    (a lambda-grid over 8 devices = 8 different operating points, one per
+    shard, in one launch)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs the 8-virtual-device conftest backend")
+    rng = np.random.default_rng(0)
+    img = rng.random((8, 32, 32, 3)).astype(np.float32)
+    b = Batch(img_H=(img * 255).astype(np.uint8), img_L=img,
+              kernel=np.full((8, 5, 5), 1 / 25.0, np.float32),
+              mask=np.ones((8, 32, 32, 3), np.float32),
+              names=[str(i) for i in range(8)])
+    cfg = load_config("configs/demo256_deblur.yaml", overrides={
+        "model_name": "tiny_test", "iter_num": 3, "noise_level_img": 12.75,
+        "batch_size": 8})
+    r = Runner(cfg, use_mesh=True)
+    o_vec = r.restore_batch(b, lambda_=[0.5, 1, 2, 4, 8, 16, 32, 64], seed=3)
+    o_lo = r.restore_batch(b, lambda_=0.5, seed=3)
+    o_hi = r.restore_batch(b, lambda_=64.0, seed=3)
+    np.testing.assert_allclose(o_vec[0], o_lo[0], atol=2e-5)
+    np.testing.assert_allclose(o_vec[7], o_hi[7], atol=2e-5)
