@@ -553,6 +553,75 @@ class Runner:
         return [self.evaluate(lambda_=l, zeta=z, **kw)
                 for l, z in reference_sweep(self.cfg)]
 
+    def tune_operating_point(self, points, *, batch: Optional[Batch] = None,
+                             paths: Optional[list[str]] = None,
+                             index: int = 0,
+                             seed: Optional[int] = None) -> dict:
+        """Autotune (lambda, zeta) for ONE observation in a single launch.
+
+        Replicates one degraded observation ``len(points)`` times and
+        restores the replicas with a PER-SAMPLE (lambda, zeta) vector, so the
+        whole candidate grid costs one device launch through one compiled
+        program (the sweep-stable vector trace of ``restore_batch``).  The
+        reference explores operating points only by re-running its entire
+        driver per value (``main_ddpir.py:548-580`` mutates the config and
+        calls ``test_rho`` once per sweep point).
+
+        Args:
+          points: sequence of ``(lambda, zeta)`` candidates; ``zeta=None``
+            means the config default.
+          batch: optional Batch whose row 0 is the observation to tune on;
+            when absent the observation is taken from the configured test
+            set (``paths``/``index`` pick the image, default the first).
+          seed: PRNG seed (default ``cfg.seed``).  All replicas share one
+            batch key, so candidates differ only in their operating point.
+
+        Returns ``{"results": [...], "best": {...}, "output": (H,W,C)}`` —
+        per-candidate PSNR (and SSIM when ``cfg.calc_SSIM``) vs the ground
+        truth in input order, the best row, and its restored image.
+        """
+        cfg = self.cfg
+        pts = [(float(l), cfg.zeta if z is None else float(z))
+               for l, z in points]
+        if not pts:
+            raise ValueError("points must be non-empty")
+        if batch is None:
+            np.random.seed(cfg.seed)
+            items = prepare_images(cfg, paths)
+            if index >= len(items):
+                raise IndexError(f"index {index} >= {len(items)} test images")
+            batch = make_batches([items[index]], 1)[0]
+        P = len(pts)
+        n = P
+        if self.mesh is not None and "data" in self.mesh_axes:
+            d = self.mesh.shape["data"]
+            n = ((P + d - 1) // d) * d  # pad rows to shard evenly
+        rep = lambda a: None if a is None else np.repeat(a[:1], n, axis=0)
+        grid = Batch(img_H=rep(batch.img_H), img_L=rep(batch.img_L),
+                     kernel=rep(batch.kernel), mask=rep(batch.mask),
+                     names=[batch.names[0]] * n, init=rep(batch.init))
+        lams = np.array([l for l, _ in pts] + [pts[-1][0]] * (n - P),
+                        np.float32)
+        zets = np.array([z for _, z in pts] + [pts[-1][1]] * (n - P),
+                        np.float32)
+        out = self.restore_batch(grid, lambda_=lams, zeta=zets,
+                                 seed=cfg.seed if seed is None else seed)
+        if isinstance(out, tuple):  # drop progress frames if configured
+            out = out[0]
+        gt = batch.img_H[0].astype(np.float32) / 255.0
+        results = []
+        for i, (lam, zet) in enumerate(pts):
+            row = {"lambda_": lam, "zeta": zet,
+                   "psnr": float(im.psnr_batch(out[i:i + 1] * 2 - 1,
+                                               gt[None] * 2 - 1))}
+            if cfg.calc_SSIM:
+                row["ssim"] = float(im.ssim(im.single2uint(out[i]),
+                                            batch.img_H[0]))
+            results.append(row)
+        best_i = int(np.argmax([r["psnr"] for r in results]))
+        return {"results": results, "best": results[best_i],
+                "output": out[best_i]}
+
 
 def dryrun_restore(n_devices: int) -> None:
     """Compile + execute mesh-sharded inference on tiny shapes.

@@ -89,6 +89,61 @@ def test_per_sample_operating_points_match_scalar_rows():
     assert r._restore_jit["fn"]._cache_size() == 2
 
 
+def test_tune_operating_point_single_launch():
+    """The lambda-grid autotuner scores every candidate from ONE vector
+    launch and its rows agree with the scalar-trace restore."""
+    cfg = load_config("configs/demo256_deblur.yaml", overrides={
+        "model_name": "tiny_test", "iter_num": 5, "noise_level_img": 12.75,
+        "calc_SSIM": True})
+    r = Runner(cfg, use_mesh=False)
+    b = _batch("deblur")
+
+    pts = [(0.5, None), (50.0, None), (0.5, 0.3)]
+    res = r.tune_operating_point(pts, batch=b, seed=3)
+    assert [x["lambda_"] for x in res["results"]] == [0.5, 50.0, 0.5]
+    assert res["results"][2]["zeta"] == 0.3
+    assert all("ssim" in x for x in res["results"])
+    assert res["best"] == max(res["results"], key=lambda x: x["psnr"])
+    assert res["output"].shape == b.img_L.shape[1:]
+    # single (vector) trace compiled, reused on a second tune
+    assert r._restore_jit["fn"]._cache_size() == 1
+    res2 = r.tune_operating_point(pts, batch=b, seed=3)
+    assert res2["results"] == res["results"]
+    assert r._restore_jit["fn"]._cache_size() == 1
+
+    # candidate rows carry their own operating point: row 0 must equal a
+    # scalar-lambda restore of the same replica batch (scalar path = its own
+    # trace, so this crosses program boundaries)
+    from diffpir_tpu.data import Batch as _B
+    rep = _B(img_H=np.repeat(b.img_H[:1], 3, 0),
+             img_L=np.repeat(b.img_L[:1], 3, 0),
+             kernel=np.repeat(b.kernel[:1], 3, 0),
+             mask=np.repeat(b.mask[:1], 3, 0), names=["a"] * 3)
+    o_scalar = r.restore_batch(rep, lambda_=0.5, seed=3)
+    from diffpir_tpu.utils import image as im
+    psnr0 = float(im.psnr_batch(o_scalar[:1] * 2 - 1,
+                                (b.img_H[:1].astype(np.float32) / 255.0)
+                                * 2 - 1))
+    np.testing.assert_allclose(res["results"][0]["psnr"], psnr0, atol=1e-2)
+
+
+def test_tune_operating_point_mesh_padding():
+    """Candidate count that does not divide the mesh data axis is padded
+    with replicas and sliced back — 3 candidates on 8 devices."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest backend")
+    cfg = load_config("configs/demo256_inpaint.yaml", overrides={
+        "model_name": "tiny_test", "iter_num": 3, "batch_size": 8})
+    r = Runner(cfg, use_mesh=True)
+    b = _batch("inpaint")
+    res = r.tune_operating_point([(1.0, None), (7.0, None), (30.0, None)],
+                                 batch=b)
+    assert len(res["results"]) == 3
+    assert res["best"] in res["results"]
+
+
 def test_per_sample_lambda_under_mesh():
     """The per-sample vector rides the mesh 'data' axis with its batch rows
     (a lambda-grid over 8 devices = 8 different operating points, one per
