@@ -29,6 +29,13 @@ def parse_args():
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override (repeatable)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--tune", type=str, default=None, metavar="L1,L2,...",
+                   help="autotune: score this lambda grid for one test image "
+                        "in a single batched launch (per-sample operating "
+                        "points) and print the per-candidate table; entries "
+                        "may be 'lambda' or 'lambda:zeta'")
+    p.add_argument("--tune-index", type=int, default=0, metavar="I",
+                   help="test-set image index --tune runs on (default 0)")
     p.add_argument("--json", action="store_true", help="print results as JSON")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the evaluation into DIR")
@@ -71,6 +78,26 @@ def main():
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
     with prof:
+        if args.tune:
+            pts = []
+            for tok in args.tune.split(","):
+                lam, _, zet = tok.partition(":")
+                pts.append((float(lam), float(zet) if zet else None))
+            res = runner.tune_operating_point(pts, index=args.tune_index)
+            print(f"{'lambda':>8} {'zeta':>6} {'PSNR':>8}"
+                  + ("    SSIM" if cfg.calc_SSIM else ""))
+            for row in res["results"]:
+                print(f"{row['lambda_']:>8.3f} {row['zeta']:>6.2f} "
+                      f"{row['psnr']:>8.3f}"
+                      + (f"  {row['ssim']:.4f}" if "ssim" in row else ""))
+            best = res["best"]
+            print(f"best: lambda={best['lambda_']:g} zeta={best['zeta']:g} "
+                  f"({best['psnr']:.3f} dB) — {len(pts)} candidates, "
+                  f"one launch")
+            if args.json:
+                json.dump(res["results"], sys.stdout, indent=2, default=float)
+                print()
+            return res["results"]
         if args.no_sweep:
             results = [runner.evaluate()]
         else:

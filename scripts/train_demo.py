@@ -105,6 +105,11 @@ def main():
                          "per-dispatch latency that dominates through the "
                          "remote tunnel)")
     ap.add_argument("--save-interval", type=int, default=2000)
+    ap.add_argument("--resume", type=str, default=None, metavar="NPZ",
+                    help="warm-start params (and EMA) from a saved "
+                         ".flax.npz of the same arch — continues training "
+                         "with a fresh optimizer (the npz stores EMA params "
+                         "only)")
     args = ap.parse_args()
 
     import jax
@@ -133,6 +138,15 @@ def main():
                        compute_dtype="float32" if args.cpu else "bfloat16")
     trainer = Trainer(model, diff, tcfg)
     state = trainer.init_state(jax.random.PRNGKey(0), (1, IMG, IMG, 3))
+    if args.resume:
+        loaded = zoo.load_params_npz(args.resume)
+        state["params"] = jax.tree_util.tree_map(
+            lambda old, new: jnp.asarray(new, old.dtype).reshape(old.shape),
+            state["params"], loaded)
+        state["ema"] = tuple(
+            jax.tree_util.tree_map(jnp.copy, state["params"])
+            for _ in state["ema"])
+        print(f"resumed params from {args.resume}", flush=True)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state["params"]))
     print(f"arch {args.arch}: {n_params/1e6:.1f}M params, {IMG}px, "
