@@ -110,6 +110,10 @@ def main():
                          ".flax.npz of the same arch — continues training "
                          "with a fresh optimizer (the npz stores EMA params "
                          "only)")
+    ap.add_argument("--pool-seed", type=int, default=0,
+                    help="RNG seed of the pregenerated pool (continuation "
+                         "runs should pick a fresh seed so they see new "
+                         "draws instead of re-epoching the original pool)")
     args = ap.parse_args()
 
     import jax
@@ -152,7 +156,7 @@ def main():
     print(f"arch {args.arch}: {n_params/1e6:.1f}M params, {IMG}px, "
           f"rich={rich}", flush=True)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.pool_seed)
     t0 = time.perf_counter()
     pool = synth_batch(rng, args.dataset_size, IMG, rich=rich)
     print(f"pregenerated {args.dataset_size} images "
