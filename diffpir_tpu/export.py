@@ -101,6 +101,7 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
                    kernel_hw: tuple[int, int] = (1, 1),
                    lambda_: Optional[float] = None,
                    zeta: Optional[float] = None,
+                   dynamic_point: bool = False,
                    platforms: Sequence[str] = ("tpu", "cpu"),
                    allow_random_weights: bool = False) -> bytes:
     """Serialize the compiled whole-batch restore program to bytes.
@@ -108,6 +109,14 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
     The exported calling convention is
     ``program(params, y, kernel, mask, key_data) -> restored`` with
     ``key_data`` the raw ``(2,)`` uint32 PRNGKey array.
+
+    ``dynamic_point=True`` exports the program with two extra trailing
+    arguments ``(lambda_vec, zeta_vec)`` — per-sample ``(batch,)`` float32
+    operating points, exactly the live path's vector trace (the step tables
+    are baked at lambda=1 and scaled in-graph; rho is linear in lambda).
+    The artifact then serves any (even per-request-heterogeneous) operating
+    point without re-export; ``lambda_``/``zeta`` become the manifest's
+    recorded defaults.
     """
     cfg = runner.cfg
     if (getattr(runner, "weights_provenance", "random") == "random"
@@ -120,7 +129,6 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
             f"allow_random_weights=True for test fixtures)")
     lambda_ = cfg.lambda_ if lambda_ is None else lambda_
     zeta = cfg.zeta if zeta is None else zeta
-    plan = runner._plan(lambda_, zeta)
     base = runner._restore_fn()
 
     # the exported calling convention takes params as a FLAT LIST of arrays
@@ -128,23 +136,39 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
     # Flax param-tree structure; the treedef is baked in here as a static
     flat, treedef = jax.tree_util.tree_flatten(runner.params)
 
-    def fn(params_flat, y, kern, mask, key_data):
-        params = jax.tree_util.tree_unflatten(treedef, params_flat)
-        # key_data is a raw (2,) uint32 array == old-style PRNGKey.
-        # plan/zeta/lambda ARE baked as constants here, deliberately: an AOT
-        # bundle ships one fixed operating point
-        out = base(params, y, kern, mask, key_data, None, plan, zeta, lambda_)
-        return out[0] if isinstance(out, tuple) else out
+    if dynamic_point:
+        plan = runner._plan(1.0, 0.0)  # scaled in-graph by lambda_vec
+
+        def fn(params_flat, y, kern, mask, key_data, lam_vec, zet_vec):
+            params = jax.tree_util.tree_unflatten(treedef, params_flat)
+            out = base(params, y, kern, mask, key_data, None, plan,
+                       zet_vec, lam_vec)
+            return out[0] if isinstance(out, tuple) else out
+    else:
+        plan = runner._plan(lambda_, zeta)
+
+        def fn(params_flat, y, kern, mask, key_data):
+            params = jax.tree_util.tree_unflatten(treedef, params_flat)
+            # key_data is a raw (2,) uint32 array == old-style PRNGKey.
+            # plan/zeta/lambda baked as constants: this bundle ships ONE
+            # fixed operating point (dynamic_point=False)
+            out = base(params, y, kern, mask, key_data, None, plan, zeta,
+                       lambda_)
+            return out[0] if isinstance(out, tuple) else out
 
     structs = _example_structs(runner, batch=batch, height=height, width=width,
                                kernel_hw=kernel_hw)
+    if dynamic_point:
+        structs = structs + (
+            jax.ShapeDtypeStruct((batch,), np.float32),
+            jax.ShapeDtypeStruct((batch,), np.float32))
     if runner.mesh is not None:
         # record the real placements: params keep their (possibly Megatron-TP)
         # shardings, observations shard over the 'data' axis — the exported
         # program then contains the partitioned computation + collectives
         mesh = runner.mesh
         repl = NamedSharding(mesh, P())
-        y_s, k_s, m_s, key_s = structs
+        y_s, k_s, m_s, key_s = structs[:4]
         structs = (
             jax.ShapeDtypeStruct(y_s.shape, y_s.dtype,
                                  sharding=NamedSharding(mesh, _data_spec(4))),
@@ -153,7 +177,12 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
             jax.ShapeDtypeStruct(m_s.shape, m_s.dtype,
                                  sharding=NamedSharding(mesh, _data_spec(4))),
             jax.ShapeDtypeStruct(key_s.shape, key_s.dtype, sharding=repl),
-        )
+        ) + tuple(
+            # per-sample (lambda, zeta) vectors ride the data axis with
+            # their batch rows, as in Runner.restore_batch
+            jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                 sharding=NamedSharding(mesh, _data_spec(1)))
+            for s in structs[4:])
         flat_structs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype,
                                              sharding=x.sharding)
                         for x in flat]
@@ -168,6 +197,7 @@ def export_restore(runner: Runner, *, batch: int, height: int, width: int,
 def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
                 width: int, kernel_hw: tuple[int, int] = (1, 1),
                 lambda_: Optional[float] = None, zeta: Optional[float] = None,
+                dynamic_point: bool = False,
                 platforms: Sequence[str] = ("tpu", "cpu"),
                 allow_random_weights: bool = False) -> str:
     """Write a self-contained serving artifact directory.
@@ -178,7 +208,7 @@ def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
     os.makedirs(path, exist_ok=True)
     blob = export_restore(runner, batch=batch, height=height, width=width,
                           kernel_hw=kernel_hw, lambda_=lambda_, zeta=zeta,
-                          platforms=platforms,
+                          dynamic_point=dynamic_point, platforms=platforms,
                           allow_random_weights=allow_random_weights)
     with open(os.path.join(path, _PROGRAM), "wb") as f:
         f.write(blob)
@@ -194,6 +224,9 @@ def save_bundle(runner: Runner, path: str, *, batch: int, height: int,
         model_name=cfg.model_name, iter_num=cfg.iter_num,
         treedef=str(treedef),
         mesh=_mesh_manifest(runner, flat),
+        dynamic_point=dynamic_point,
+        lambda_=float(cfg.lambda_ if lambda_ is None else lambda_),
+        zeta=float(cfg.zeta if zeta is None else zeta),
     )
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -239,6 +272,9 @@ class LoadedRestore:
                  NamedSharding(mesh, _data_spec(3)),
                  NamedSharding(mesh, _data_spec(4)),
                  NamedSharding(mesh, P()))
+        if self.manifest.get("dynamic_point"):
+            in_sh = in_sh + (NamedSharding(mesh, _data_spec(1)),
+                             NamedSharding(mesh, _data_spec(1)))
         self._call = jax.jit(self._exported.call, in_shardings=in_sh)
 
     def reload_params(self, path: Optional[str] = None) -> None:
@@ -257,10 +293,20 @@ class LoadedRestore:
         self._params_flat = flat
 
     def __call__(self, y: np.ndarray, kernel: Optional[np.ndarray] = None,
-                 mask: Optional[np.ndarray] = None, seed: int = 0) -> np.ndarray:
+                 mask: Optional[np.ndarray] = None, seed: int = 0,
+                 lambda_=None, zeta=None) -> np.ndarray:
+        """``lambda_``/``zeta`` (scalar or per-sample ``(batch,)``) are only
+        accepted by bundles exported with ``dynamic_point=True``; they
+        default to the operating point recorded in the manifest."""
         m = self.manifest
         B, H, W, C = m["batch"], m["height"], m["width"], m["n_channels"]
         sf = m["sf"]
+        if not m.get("dynamic_point") and (lambda_ is not None
+                                           or zeta is not None):
+            raise ValueError(
+                "this bundle bakes its operating point (lambda="
+                f"{m.get('lambda_')}, zeta={m.get('zeta')}); re-export with "
+                "dynamic_point=True to choose (lambda, zeta) at call time")
         y = np.asarray(y, np.float32)
         if y.shape != (B, H, W, C):
             raise ValueError(f"y must be {(B, H, W, C)}, got {y.shape}")
@@ -273,9 +319,15 @@ class LoadedRestore:
         if mask is None:
             mask = np.ones((B, H * sf, W * sf, C), np.float32)
         key_data = np.asarray(jax.random.PRNGKey(seed), np.uint32)
-        out = self._call(self._params_flat, y,
-                         np.asarray(kernel, np.float32),
-                         np.asarray(mask, np.float32), key_data)
+        args = (self._params_flat, y, np.asarray(kernel, np.float32),
+                np.asarray(mask, np.float32), key_data)
+        if m.get("dynamic_point"):
+            lam = m["lambda_"] if lambda_ is None else lambda_
+            zet = m["zeta"] if zeta is None else zeta
+            args = args + (
+                np.broadcast_to(np.asarray(lam, np.float32), (B,)).copy(),
+                np.broadcast_to(np.asarray(zet, np.float32), (B,)).copy())
+        out = self._call(*args)
         return np.asarray(out)
 
 
@@ -306,6 +358,9 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--dynamic-point", action="store_true",
+                    help="export (lambda, zeta) as per-sample runtime "
+                         "arguments instead of baking one operating point")
     ap.add_argument("--allow-random-weights", action="store_true",
                     help="permit exporting without a trained checkpoint "
                          "(test fixtures only)")
@@ -328,6 +383,7 @@ def main(argv: Optional[list] = None) -> None:
     path = save_bundle(runner, args.out, batch=args.batch or cfg.batch_size,
                        height=args.hw[0], width=args.hw[1],
                        kernel_hw=tuple(args.kernel),
+                       dynamic_point=args.dynamic_point,
                        platforms=tuple(args.platforms),
                        allow_random_weights=args.allow_random_weights)
     size = os.path.getsize(os.path.join(path, _PROGRAM))

@@ -121,6 +121,64 @@ def test_reload_params_refreshes_checkpoint(tmp_path):
         loaded.reload_params(bad)
 
 
+def test_dynamic_point_bundle(tmp_path):
+    """dynamic_point=True exports (lambda, zeta) as per-sample runtime
+    arguments: one artifact serves every operating point, matching the live
+    vector path; fixed bundles refuse call-time points."""
+    rng = np.random.default_rng(3)
+    cfg = _cfg("deblur", noise_level_img=12.75)
+    runner = Runner(cfg, use_mesh=False)
+    batch = _batch("deblur", rng)
+
+    path = save_bundle(runner, str(tmp_path / "dyn"), batch=2, height=32,
+                       width=32, kernel_hw=(5, 5), dynamic_point=True,
+                       platforms=("cpu",), allow_random_weights=True)
+    loaded = load_bundle(path)
+    assert loaded.manifest["dynamic_point"] is True
+
+    # manifest default == the runner's configured point
+    want_def = runner.restore_batch(batch, seed=7)
+    got_def = loaded(batch.img_L, kernel=batch.kernel, mask=batch.mask, seed=7)
+    np.testing.assert_allclose(got_def, want_def, rtol=0, atol=1e-5)
+
+    # scalar override and per-sample vector override match the live path
+    want_hi = runner.restore_batch(batch, lambda_=50.0, seed=7)
+    got_hi = loaded(batch.img_L, kernel=batch.kernel, mask=batch.mask,
+                    seed=7, lambda_=50.0)
+    np.testing.assert_allclose(got_hi, want_hi, rtol=0, atol=1e-5)
+
+    got_vec = loaded(batch.img_L, kernel=batch.kernel, mask=batch.mask,
+                     seed=7, lambda_=[cfg.lambda_, 50.0])
+    np.testing.assert_allclose(got_vec[0], want_def[0], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got_vec[1], want_hi[1], rtol=0, atol=1e-5)
+
+    # a fixed-point bundle refuses call-time operating points
+    fixed = load_bundle(save_bundle(
+        runner, str(tmp_path / "fix"), batch=2, height=32, width=32,
+        kernel_hw=(5, 5), platforms=("cpu",), allow_random_weights=True))
+    with pytest.raises(ValueError, match="dynamic_point"):
+        fixed(batch.img_L, kernel=batch.kernel, mask=batch.mask, lambda_=3.0)
+
+
+def test_dynamic_point_mesh_bundle(tmp_path):
+    """Dynamic-point export composes with mesh bundles: the (lambda, zeta)
+    vectors ride the data axis."""
+    rng = np.random.default_rng(5)
+    B = 8
+    batch = _batch("inpaint", rng, B=B)
+    runner_plain = Runner(_cfg("inpaint", batch_size=B), use_mesh=False)
+    want = runner_plain.restore_batch(batch, lambda_=9.0, seed=2)
+
+    runner_mesh = Runner(_cfg("inpaint", batch_size=B, mesh_shape=[8]),
+                         use_mesh=True)
+    path = save_bundle(runner_mesh, str(tmp_path / "dynmesh"), batch=B,
+                       height=32, width=32, dynamic_point=True,
+                       platforms=("cpu",), allow_random_weights=True)
+    loaded = load_bundle(path)
+    got = loaded(batch.img_L, mask=batch.mask, seed=2, lambda_=9.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+
 def test_export_refuses_random_weights(tmp_path):
     """Exporting an AOT bundle over random weights hard-fails unless
     explicitly allowed (tests above opt in for the tiny fixture)."""
