@@ -72,6 +72,18 @@ def main():
     print(f"[2] reloaded program replays runner: max |diff| = "
           f"{float(np.abs(got - want).max()):.2e}")
 
+    # -- 2b. dynamic operating point ---------------------------------------
+    # dynamic_point=True exports (lambda, zeta) as per-sample runtime
+    # arguments: one artifact, any operating point at call time
+    dyn_dir = os.path.join(tempfile.mkdtemp(), "dyn")
+    save_bundle(runner, dyn_dir, batch=2, height=32, width=32,
+                dynamic_point=True, platforms=platforms,
+                allow_random_weights=True)
+    dyn = load_bundle(dyn_dir)
+    out = dyn(img_L, mask=mask, seed=4, lambda_=[1.0, 30.0], zeta=0.8)
+    print(f"[2b] dynamic-point bundle: per-sample lambda [1, 30] in one "
+          f"call -> {out.shape}")
+
     # -- 3. HTTP serving ---------------------------------------------------
     service = RestorationService(cfg, use_mesh=False, allow_random_weights=True, service_batch=2)
     httpd = start_server(service, port=0)
