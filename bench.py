@@ -11,15 +11,23 @@ Baseline: the reference (yuanzhi-zhu/DiffPIR) publishes no throughput numbers
 (BASELINE.md).  We use 0.10 images/sec/GPU as the PyTorch baseline — a
 V100-class GPU takes ~100 ms per 256px guided-diffusion UNet forward, and the
 reference's loop runs 100 sequential NFE with per-step host syncs
-(main_ddpir.py:341-344).  vs_baseline = measured / 0.10.
+(main_ddpir.py:341-344).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline as the LAST JSON line: {"metric", "value", "unit",
+"vs_baseline"}.  Unless ``BENCH_ALL=0``, a second model line for the 553M
+imagenet flagship (256x256_diffusion_uncond, the reference's biggest
+checkpoint, script_util.py:148-158) is printed FIRST — so the driver's
+last-line parse still lands on the headline while the tail regression-guards
+both models.  The imagenet leg is skipped when the ffhq leg ran cold (no
+persistent-cache hit — a second ~15-min remote compile would blow the bench
+budget; see CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -27,25 +35,31 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 0.10
 NFE = int(os.environ.get("BENCH_NFE", 100))
 # batch 16 is the measured single-chip throughput optimum (r2 sweep on v5e:
-# batch 8 -> 2.86, 16 -> 3.00, 32 -> 2.82 img/s)
+# batch 8 -> 2.86, 16 -> 3.00, 32 -> 2.82 img/s).  The 553M imagenet model is
+# fully compute-bound (batch 8 == batch 16 per BASELINE.md); batch 8 keeps
+# comfortable HBM headroom there.
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 SIZE = 256
 MODEL = os.environ.get("BENCH_MODEL", "diffusion_ffhq_10m")
+# second bench line (553M imagenet flagship); BENCH_ALL=0 disables
+BENCH_ALL = os.environ.get("BENCH_ALL", "1") not in ("0", "")
+IMAGENET_MODEL = "256x256_diffusion_uncond"
+IMAGENET_BATCH = int(os.environ.get("BENCH_IMAGENET_BATCH", 8))
+# ffhq compile slower than this => cold persistent cache => skip the 553M leg
+COLD_COMPILE_S = float(os.environ.get("BENCH_COLD_COMPILE_S", 240.0))
 
 
-def main():
+def bench_model(model_name: str, batch: int) -> dict:
+    """Compile + time the whole-trajectory restore for one zoo model."""
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from diffpir_tpu.models.zoo import resolve_model
     from diffpir_tpu.sampler import diffpir_sample, make_denoiser, make_inpaint_prox
     from diffpir_tpu.schedule import NoiseSchedule, build_plan
 
-    module, params, _prov = resolve_model(MODEL, "model_zoo", dtype=jnp.bfloat16)
+    module, params, _prov = resolve_model(model_name, "model_zoo",
+                                          dtype=jnp.bfloat16)
     sched = NoiseSchedule.linear(0.0001, 0.02, 1000)
     plan = build_plan(sched, iter_num=NFE, skip_type="quad", lambda_=1.0,
                       eta=0.0, sigma_y=0.001)
@@ -53,8 +67,8 @@ def main():
                         params, sched, compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3)).astype(np.float32))
-    mask = jnp.asarray((rng.random((BATCH, SIZE, SIZE, 1)) > 0.5)
+    y = jnp.asarray(rng.random((batch, SIZE, SIZE, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((batch, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
 
     @jax.jit
@@ -70,8 +84,10 @@ def main():
 
     # compile + warmup — NOTE: timing uses an explicit host fetch; on the axon
     # TPU tunnel block_until_ready() returns before remote execution finishes
+    t_c0 = time.perf_counter()
     out = restore(params, y, mask, jax.random.PRNGKey(0))
     np.asarray(out)
+    compile_s = time.perf_counter() - t_c0
 
     # two timing rounds of 3 pipelined reps each; report the best round —
     # the axon tunnel intermittently adds multi-100ms fetch stalls and a
@@ -85,13 +101,45 @@ def main():
             np.asarray(o)
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_rep)
 
-    ips = BATCH / best_dt
-    print(json.dumps({
-        "metric": f"images/sec/chip, {SIZE}px, {NFE}-NFE DiffPIR (bf16, batch {BATCH})",
+    ips = batch / best_dt
+    return {
+        "metric": (f"images/sec/chip, {SIZE}px, {NFE}-NFE DiffPIR "
+                   f"(bf16, batch {batch}, {model_name})"),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
-    }))
+        "_compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_CPU"):  # testing only: never touch the TPU
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    head = bench_model(MODEL, BATCH)
+    compile_s = head.pop("_compile_s")
+    if BENCH_ALL and MODEL != IMAGENET_MODEL:
+        if compile_s > COLD_COMPILE_S:
+            print(f"bench: skipping {IMAGENET_MODEL} leg — ffhq compile took "
+                  f"{compile_s:.0f}s (cold cache); set BENCH_ALL=0 to silence",
+                  file=sys.stderr)
+        else:
+            try:
+                row = bench_model(IMAGENET_MODEL, IMAGENET_BATCH)
+                row.pop("_compile_s", None)
+                print(json.dumps(row), flush=True)
+            except Exception as e:  # the headline must survive a 553M failure
+                print(f"bench: {IMAGENET_MODEL} leg failed: {e!r}",
+                      file=sys.stderr)
+    # keep the historical headline metric name (BENCH_r01..r03 comparability)
+    head["metric"] = (f"images/sec/chip, {SIZE}px, {NFE}-NFE DiffPIR "
+                      f"(bf16, batch {BATCH})")
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":
