@@ -52,6 +52,12 @@ __all__ = ["export_restore", "save_bundle", "load_bundle", "LoadedRestore"]
 _MANIFEST = "manifest.json"
 _PROGRAM = "restore.stablehlo.bin"
 _PARAMS = "params.npz"
+# native-executable sidecar (jax.experimental.serialize_executable): written
+# by LoadedRestore.save_aot() on the serving host, keyed by backend platform.
+# Unlike the portable StableHLO program (which still pays a backend compile on
+# first call in every fresh process), the sidecar restores a ready-to-run
+# PJRT executable — process boot skips XLA entirely.
+_AOT = "aot.{platform}.bin"
 
 
 def _spec_to_json(spec) -> list:
@@ -240,7 +246,7 @@ class LoadedRestore:
     with host numpy arrays at exactly the manifest shapes.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, *, use_aot: bool = True):
         self._path = path
         with open(os.path.join(path, _MANIFEST)) as f:
             self.manifest = json.load(f)
@@ -250,6 +256,28 @@ class LoadedRestore:
             self._params_flat = [z[str(i)] for i in range(len(z.files))]
 
         mesh_info = self.manifest.get("mesh")
+        self._aot = None
+        if use_aot and mesh_info is None:
+            p = os.path.join(path,
+                             _AOT.format(platform=jax.default_backend()))
+            if os.path.exists(p):
+                try:
+                    import pickle
+
+                    from jax.experimental import serialize_executable as se
+
+                    with open(p, "rb") as f:
+                        # single-device executable: pin to device 0 (the
+                        # default binds ALL local devices and then expects
+                        # per-device input shards)
+                        self._aot = se.deserialize_and_load(
+                            *pickle.load(f),
+                            execution_devices=jax.devices()[:1])
+                except Exception as e:  # stale/foreign sidecar — fall back
+                    import warnings
+
+                    warnings.warn(f"ignoring AOT sidecar {p}: {e!r}")
+                    self._aot = None
         if mesh_info is None:
             self._call = self._exported.call
             return
@@ -277,6 +305,47 @@ class LoadedRestore:
                              NamedSharding(mesh, _data_spec(1)))
         self._call = jax.jit(self._exported.call, in_shardings=in_sh)
 
+    def _example_structs(self):
+        """ShapeDtypeStructs matching this bundle's exact call convention."""
+        m = self.manifest
+        B, H, W, C = m["batch"], m["height"], m["width"], m["n_channels"]
+        sf, (kh, kw) = m["sf"], m["kernel_hw"]
+        flat = [jax.ShapeDtypeStruct(p.shape, p.dtype)
+                for p in self._params_flat]
+        args = (flat,
+                jax.ShapeDtypeStruct((B, H, W, C), np.float32),
+                jax.ShapeDtypeStruct((B, kh, kw), np.float32),
+                jax.ShapeDtypeStruct((B, H * sf, W * sf, C), np.float32),
+                jax.ShapeDtypeStruct((2,), np.uint32))
+        if m.get("dynamic_point"):
+            args = args + (jax.ShapeDtypeStruct((B,), np.float32),
+                           jax.ShapeDtypeStruct((B,), np.float32))
+        return args
+
+    def save_aot(self, path: Optional[str] = None) -> str:
+        """Compile for THIS host's backend and cache the native executable.
+
+        One process pays the XLA compile once (e.g. at deploy/install time);
+        every later ``load_bundle`` on the same platform boots straight into
+        a ready PJRT executable.  Single-device bundles only — mesh bundles
+        are device-topology-pinned and keep the StableHLO path.
+        """
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        if self.manifest.get("mesh"):
+            raise ValueError("AOT sidecar is unsupported for mesh bundles")
+        compiled = jax.jit(self._exported.call).lower(
+            *self._example_structs()).compile()
+        payload = se.serialize(compiled)
+        out = os.path.join(path or self._path,
+                           _AOT.format(platform=jax.default_backend()))
+        with open(out, "wb") as f:
+            pickle.dump(payload, f)
+        self._aot = compiled
+        return out
+
     def reload_params(self, path: Optional[str] = None) -> None:
         """Re-read ``params.npz`` (checkpoint refresh without re-export).
 
@@ -294,10 +363,13 @@ class LoadedRestore:
 
     def __call__(self, y: np.ndarray, kernel: Optional[np.ndarray] = None,
                  mask: Optional[np.ndarray] = None, seed: int = 0,
-                 lambda_=None, zeta=None) -> np.ndarray:
+                 lambda_=None, zeta=None, fetch: bool = True) -> np.ndarray:
         """``lambda_``/``zeta`` (scalar or per-sample ``(batch,)``) are only
         accepted by bundles exported with ``dynamic_point=True``; they
-        default to the operating point recorded in the manifest."""
+        default to the operating point recorded in the manifest.
+        ``fetch=False`` returns the (asynchronously dispatching) device array
+        instead of blocking on a host copy — serving loops use it to overlap
+        host prep of the next chunk with device compute."""
         m = self.manifest
         B, H, W, C = m["batch"], m["height"], m["width"], m["n_channels"]
         sf = m["sf"]
@@ -327,8 +399,8 @@ class LoadedRestore:
             args = args + (
                 np.broadcast_to(np.asarray(lam, np.float32), (B,)).copy(),
                 np.broadcast_to(np.asarray(zet, np.float32), (B,)).copy())
-        out = self._call(*args)
-        return np.asarray(out)
+        out = (self._aot or self._call)(*args)
+        return np.asarray(out) if fetch else out
 
 
 def load_bundle(path: str) -> LoadedRestore:
@@ -364,6 +436,10 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--allow-random-weights", action="store_true",
                     help="permit exporting without a trained checkpoint "
                          "(test fixtures only)")
+    ap.add_argument("--aot", action="store_true",
+                    help="also compile for THIS host's backend and write the "
+                         "native-executable sidecar (LoadedRestore.save_aot) "
+                         "so serving processes boot without any XLA compile")
     args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -389,6 +465,13 @@ def main(argv: Optional[list] = None) -> None:
     size = os.path.getsize(os.path.join(path, _PROGRAM))
     print(f"wrote {path} (program {size / 1e6:.2f} MB, "
           f"platforms {args.platforms})")
+    if args.aot:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = LoadedRestore(path, use_aot=False).save_aot()
+        print(f"wrote {out} ({os.path.getsize(out) / 1e6:.2f} MB, "
+              f"compiled in {_time.perf_counter() - t0:.1f}s)")
 
 
 if __name__ == "__main__":

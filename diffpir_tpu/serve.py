@@ -22,6 +22,11 @@ module packages the runner for deployment:
     directory tree into an output directory (the deployment shape the
     reference's results/ workflow implies), double-buffered like
     ``Runner.evaluate``.
+  * AOT boot: ``RestorationService(bundle_path=...)`` serves from an exported
+    artifact (``export.save_bundle``) instead of JIT-compiling a Runner — a
+    fresh serving process needs no model code or trace, and with a
+    ``LoadedRestore.save_aot`` native-executable sidecar it skips the XLA
+    compile entirely (the cold-start eliminator; see docs/serving.md).
 
 Throughput scaling across chips comes from the runner's mesh sharding; run one
 service process per host with ``jax.distributed`` for multi-host serving.
@@ -54,28 +59,64 @@ class RequestError(ValueError):
 class RestorationService:
     """Long-lived restoration endpoint over a fixed task configuration."""
 
-    def __init__(self, cfg: TaskConfig, *, use_mesh: bool = True,
+    def __init__(self, cfg: Optional[TaskConfig] = None, *,
+                 bundle_path: Optional[str] = None,
+                 use_mesh: bool = True,
                  service_batch: Optional[int] = None,
                  max_wait_ms: float = 20.0,
                  kernel_size: Optional[int] = None,
                  allow_random_weights: bool = False):
-        self.cfg = cfg
-        self.runner = Runner(cfg, use_mesh=use_mesh)
-        if (self.runner.weights_provenance == "random"
-                and not allow_random_weights):
-            # a serving endpoint over random weights is a silent-garbage
-            # failure mode (the zoo fallback logs one warning and moves on);
-            # production callers must opt in explicitly.  The torch reference
-            # "protects" against this only because torch.load crashes on a
-            # missing file (main_ddpir.py:234).
-            raise RuntimeError(
-                f"no trained weights found for model "
-                f"{cfg.model_name!r} (zoo: {cfg.model_zoo!r}) — refusing to "
-                f"serve random-weight restorations. Pass "
-                f"allow_random_weights=True for test fixtures.")
-        self.batch = service_batch or cfg.batch_size
-        # deepest downsample factor of the bound model's topology
-        self._pad_mod = 2 ** (len(self.runner.module.cfg.channel_mult) - 1)
+        self.loaded = None
+        self._bundle_hw = None
+        if bundle_path is not None:
+            # AOT path: boot from an exported artifact (export.save_bundle) —
+            # no Runner, no UNet/Flax construction, no trace/lowering; with a
+            # native-executable sidecar (LoadedRestore.save_aot) not even an
+            # XLA compile.  Weight provenance was enforced at EXPORT time
+            # (export_restore refuses random weights), so the artifact is
+            # trusted here.  Shapes are fixed by the program: requests must
+            # fit the manifest (smaller inputs are padded up and cropped
+            # back); service_batch is ignored.
+            from diffpir_tpu.export import load_bundle
+
+            self.loaded = load_bundle(bundle_path)
+            m = self.loaded.manifest
+            if cfg is None:
+                from diffpir_tpu.config import load_config
+
+                cfg = load_config(None, overrides=dict(
+                    task=m["task"], n_channels=m["n_channels"],
+                    model_name=m["model_name"], iter_num=m["iter_num"],
+                    batch_size=m["batch"], lambda_=m["lambda_"],
+                    zeta=m["zeta"],
+                    **(dict(sf=m["sf"]) if m["task"] == "sr" else {})))
+            self.cfg = cfg
+            self.runner = None
+            self.batch = m["batch"]
+            self._bundle_hw = (m["height"], m["width"])
+            self._pad_mod = 1  # padding targets the manifest dims instead
+            if kernel_size is None:
+                kernel_size = tuple(m["kernel_hw"])
+        else:
+            if cfg is None:
+                raise ValueError("pass a TaskConfig or bundle_path")
+            self.cfg = cfg
+            self.runner = Runner(cfg, use_mesh=use_mesh)
+            if (self.runner.weights_provenance == "random"
+                    and not allow_random_weights):
+                # a serving endpoint over random weights is a silent-garbage
+                # failure mode (the zoo fallback logs one warning and moves
+                # on); production callers must opt in explicitly.  The torch
+                # reference "protects" against this only because torch.load
+                # crashes on a missing file (main_ddpir.py:234).
+                raise RuntimeError(
+                    f"no trained weights found for model "
+                    f"{cfg.model_name!r} (zoo: {cfg.model_zoo!r}) — refusing "
+                    f"to serve random-weight restorations. Pass "
+                    f"allow_random_weights=True for test fixtures.")
+            self.batch = service_batch or cfg.batch_size
+            # deepest downsample factor of the bound model's topology
+            self._pad_mod = 2 ** (len(self.runner.module.cfg.channel_mult) - 1)
         # fixed PSF pad target so the compiled-program cache key (which
         # includes kernel.shape) doesn't depend on which requests coalesced;
         # None = round the chunk max up to a multiple of 8 (bounded number of
@@ -135,9 +176,16 @@ class RestorationService:
                     raise RequestError(
                         f"mask[{i}]: must be binary 0/1 (found {vals[:5]})")
 
-    @staticmethod
-    def _validate_point(lambda_, zeta) -> None:
+    def _validate_point(self, lambda_, zeta) -> None:
         """lambda_/zeta: None, scalar, or per-image sequence."""
+        if (self.loaded is not None
+                and not self.loaded.manifest.get("dynamic_point")
+                and (lambda_ is not None or zeta is not None)):
+            raise RequestError(
+                "this bundle bakes its operating point (lambda="
+                f"{self.loaded.manifest.get('lambda_')}, zeta="
+                f"{self.loaded.manifest.get('zeta')}); re-export with "
+                "dynamic_point=True to choose (lambda, zeta) per request")
         if lambda_ is not None:
             lam = np.atleast_1d(np.asarray(lambda_, np.float64))
             if not (np.isfinite(lam).all() and (lam > 0).all()):
@@ -186,11 +234,23 @@ class RestorationService:
         chunks: list[tuple[list[int], tuple[int, int], int, int, str]] = []
         for shape, idx_group in by_shape.items():
             h, w = shape[:2]
-            # pad to the UNet's deepest downsample factor (skip-connection
-            # concat needs H, W divisible by 2^(levels-1)); outputs are
-            # cropped back below.  reflect keeps content statistics; tiny
-            # inputs (pad >= dim) fall back to edge replication.
-            ph, pw = (-h) % self._pad_mod, (-w) % self._pad_mod
+            if self._bundle_hw is not None:
+                # AOT bundle: the program's input dims are frozen at export —
+                # pad every request up to exactly the manifest size (outputs
+                # are cropped back below); oversized inputs can't be served
+                H, W = self._bundle_hw
+                if h > H or w > W:
+                    raise RequestError(
+                        f"image ({h},{w}) exceeds the bundle's compiled "
+                        f"input size ({H},{W})")
+                ph, pw = H - h, W - w
+            else:
+                # pad to the UNet's deepest downsample factor (skip-connection
+                # concat needs H, W divisible by 2^(levels-1)); outputs are
+                # cropped back below.
+                ph, pw = (-h) % self._pad_mod, (-w) % self._pad_mod
+            # reflect keeps content statistics; tiny inputs (pad >= dim)
+            # fall back to edge replication.
             pad_mode = "reflect" if (ph < h and pw < w) else "edge"
             for i in range(0, len(idx_group), self.batch):
                 chunks.append((idx_group[i:i + self.batch], (h, w), ph, pw,
@@ -248,9 +308,25 @@ class RestorationService:
         for chunk_no, (chunk, hw, ph, pw, pad_mode) in enumerate(chunks):
             batch, padded_h = prep(chunk, ph, pw, pad_mode)
             with self._lock:
-                restored = self.runner.restore_batch(
-                    batch, per_chunk(lambda_, chunk), per_chunk(zeta, chunk),
-                    seed=seed + chunk_no, fetch=False)
+                if self.loaded is not None:
+                    try:
+                        restored = self.loaded(
+                            batch.img_L,
+                            kernel=batch.kernel if kernels is not None
+                            else None,
+                            mask=batch.mask if masks is not None else None,
+                            seed=seed + chunk_no,
+                            lambda_=per_chunk(lambda_, chunk),
+                            zeta=per_chunk(zeta, chunk), fetch=False)
+                    except ValueError as e:
+                        # e.g. operating-point override on a fixed-point
+                        # bundle — a request error, not a server fault
+                        raise RequestError(str(e)) from e
+                else:
+                    restored = self.runner.restore_batch(
+                        batch, per_chunk(lambda_, chunk),
+                        per_chunk(zeta, chunk),
+                        seed=seed + chunk_no, fetch=False)
             if pending is not None:
                 consume(*pending)
             pending = (chunk, hw, bool(ph or pw), padded_h, restored)
@@ -269,10 +345,16 @@ class RestorationService:
         """
         k = np.asarray(k, np.float32)
         tgt = self._kernel_size
+        if tgt is not None and np.ndim(tgt) == 0:
+            tgt = (int(tgt), int(tgt))
         out = []
         for ax in range(2):
             size = k.shape[ax]
-            t = tgt if tgt is not None else -(-size // 8) * 8  # next mult of 8
+            t = tgt[ax] if tgt is not None else -(-size // 8) * 8  # mult of 8
+            if self._bundle_hw is not None and size > t:
+                raise RequestError(
+                    f"kernel dim {size} exceeds the bundle's compiled PSF "
+                    f"size {tuple(tgt)}")
             t = min(max(t, size), hw[ax])   # never exceed the image
             p0 = t // 2 - size // 2
             out.append((p0, t - size - p0))

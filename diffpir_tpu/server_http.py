@@ -256,7 +256,12 @@ def main(argv: Optional[list[str]] = None) -> None:
     from diffpir_tpu.config import load_config
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--opt", required=True, help="task YAML config")
+    ap.add_argument("--opt", default=None, help="task YAML config")
+    ap.add_argument("--bundle", default=None, metavar="DIR",
+                    help="boot from an exported AOT bundle "
+                         "(diffpir_tpu.export) instead of JIT-compiling a "
+                         "Runner — no model code, no trace, and with an "
+                         "aot.<platform>.bin sidecar no XLA compile at all")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--warmup", type=int, nargs=2, metavar=("H", "W"),
@@ -285,10 +290,19 @@ def main(argv: Optional[list[str]] = None) -> None:
         except json.JSONDecodeError:
             pass
         overrides[k] = v
-    cfg = load_config(args.opt, overrides=overrides)
-    service = RestorationService(
-        cfg, allow_random_weights=args.allow_random_weights)
-    print(f"serving {cfg.task}/{cfg.model_name} on {args.host}:{args.port}")
+    if args.bundle is not None:
+        if args.opt is not None or overrides:
+            raise SystemExit("--bundle is self-describing; drop --opt/--set")
+        service = RestorationService(bundle_path=args.bundle)
+    else:
+        if args.opt is None:
+            raise SystemExit("pass --opt <config.yaml> or --bundle <dir>")
+        cfg = load_config(args.opt, overrides=overrides)
+        service = RestorationService(
+            cfg, allow_random_weights=args.allow_random_weights)
+    cfg = service.cfg
+    print(f"serving {cfg.task}/{cfg.model_name} on {args.host}:{args.port}"
+          + (f" (AOT bundle {args.bundle})" if args.bundle else ""))
     start_server(service, args.port, host=args.host,
                  warmup_hw=tuple(args.warmup) if args.warmup else None,
                  block=True)
