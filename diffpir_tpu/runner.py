@@ -385,7 +385,25 @@ class Runner:
         kern = jnp.asarray(batch.kernel)
         mask = jnp.asarray(batch.mask)
         init = None if batch.init is None else jnp.asarray(batch.init)
-        if self.mesh is not None:
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process (DCN) cluster: ``batch`` is this PROCESS's shard
+            # (train.datasets-style per-host input sharding, the reference's
+            # MPI-rank chunking in dist_util.py:21-74); assemble the logical
+            # global arrays over the mesh.  Data-parallel only across
+            # processes — "space"/"model" axes stay intra-process.
+            from diffpir_tpu.parallel.multihost import globalize_batch
+
+            y = globalize_batch(np.asarray(batch.img_L, np.float32), self.mesh)
+            mask = globalize_batch(np.asarray(batch.mask, np.float32), self.mesh)
+            kern = globalize_batch(np.asarray(batch.kernel, np.float32), self.mesh)
+            if init is not None:
+                init = globalize_batch(np.asarray(batch.init, np.float32),
+                                       self.mesh)
+            if np.ndim(lambda_) == 1:
+                lambda_ = globalize_batch(np.asarray(lambda_, np.float32),
+                                          self.mesh)
+                zeta = globalize_batch(np.asarray(zeta, np.float32), self.mesh)
+        elif self.mesh is not None:
             d = "data" if "data" in self.mesh_axes else None
             s = "space" if "space" in self.mesh_axes else None
             y = shard_image(y, self.mesh, d, s)
@@ -402,9 +420,18 @@ class Runner:
                  plan, zeta, lambda_)
         if not fetch:
             return out
+
+        def _get(o):
+            if getattr(o, "is_fully_addressable", True):
+                return np.asarray(jax.device_get(o))
+            # spans other processes' devices: allgather the shards over DCN
+            from diffpir_tpu.parallel.multihost import fetch_global
+
+            return fetch_global(o)
+
         if isinstance(out, tuple):  # (restored, progress frames)
-            return tuple(np.asarray(jax.device_get(o)) for o in out)
-        return np.asarray(jax.device_get(out))
+            return tuple(_get(o) for o in out)
+        return _get(out)
 
     # ------------------------------------------------------------------
     def evaluate(self, lambda_: Optional[float] = None,

@@ -400,3 +400,7 @@ def dryrun_train_step(n_devices: int) -> None:
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
     assert int(state["step"]) == 1
+    # returned for the multi-process psum-parity check (multihost.py): the
+    # loss is a global-batch reduction, so every cluster member and the
+    # single-process reference must agree on it
+    return loss
