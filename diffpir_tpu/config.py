@@ -68,6 +68,13 @@ class TaskConfig:
     lpips_weights: Optional[str] = None  # local VGG16+lin weights file for
                                        # LPIPS in no-egress deployments
                                        # (metrics.lpips_from_weights)
+    calc_FID: bool = False             # FID(restored, ground truth) over the
+                                       # whole eval set — the reference's
+                                       # tables report FID (README.md:121) but
+                                       # its code never computes it
+    fid_weights: Optional[str] = None  # local InceptionV3 weights file
+                                       # (metrics.fid_from_weights; required
+                                       # when calc_FID)
     calc_SSIM: bool = True             # log SSIM alongside PSNR (the reference
                                        # implements it, utils_image.py:616-661,
                                        # but its drivers never call it)

@@ -18,7 +18,19 @@ import numpy as np
 from diffpir_tpu.utils.image import psnr, psnr_batch, rgb_to_y_batch, ssim
 
 __all__ = ["psnr", "psnr_batch", "ssim", "rgb_to_y_batch", "psnr_y_batch",
-           "make_lpips", "lpips_from_weights"]
+           "make_lpips", "lpips_from_weights", "fid_from_weights",
+           "frechet_distance", "FidScorer"]
+
+
+def __getattr__(name):
+    # FID lives in diffpir_tpu.inception (InceptionV3 transcription is large);
+    # re-exported here so the metric facade stays the single import point.
+    if name in ("fid_from_weights", "frechet_distance", "FidScorer",
+                "inception_pool3_from_weights", "feature_stats"):
+        import diffpir_tpu.inception as _inc
+
+        return getattr(_inc, name)
+    raise AttributeError(name)
 
 log = logging.getLogger(__name__)
 

@@ -462,6 +462,17 @@ class Runner:
             from diffpir_tpu.metrics import make_lpips
 
             lpips_fn = make_lpips(weights_path=cfg.lpips_weights)
+        fid = None
+        if cfg.calc_FID:
+            # set-level metric (the reference's tables report it but never
+            # compute it): accumulate InceptionV3-pool3 features per batch,
+            # one Fréchet distance at the end
+            if not cfg.fid_weights:
+                raise ValueError("calc_FID requires fid_weights (local "
+                                 "InceptionV3 weights; metrics.FidScorer)")
+            from diffpir_tpu.metrics import FidScorer
+
+            fid = FidScorer(cfg.fid_weights)
 
         psnrs, psnrs_y, ssims, lpipss, times, n_imgs = [], [], [], [], [], 0
         if save and cfg.task == "inpaint" and cfg.save_progressive_mask and batches:
@@ -512,6 +523,8 @@ class Runner:
                 lp = lpips_fn(x0 * 2 - 1, gt * 2 - 1)
                 lpipss.append(lp * nb)
                 msg += f"; LPIPS: {lp:.4f}"
+            if fid is not None:
+                fid.add(x0, gt)
             n_imgs += nb
             lg.info(msg + f" ({nb} imgs, {times[-1]:.2f}s)")
             if save and frames is not None:
@@ -565,6 +578,7 @@ class Runner:
             "psnr_y": sum(psnrs_y) / n_imgs if psnrs_y else None,
             "ssim": sum(ssims) / n_imgs if ssims else None,
             "lpips": sum(lpipss) / n_imgs if lpipss else None,
+            "fid": fid.score() if fid is not None else None,
             "n_images": n_imgs,
             "images_per_sec": n_imgs / wall if wall > 0 else 0.0,
             "lambda_": lambda_, "zeta": zeta,
@@ -573,6 +587,8 @@ class Runner:
                f"{results['psnr']:.4f} dB")
         if results["ssim"] is not None:
             msg += f" | SSIM: {results['ssim']:.4f}"
+        if results["fid"] is not None:
+            msg += f" | FID: {results['fid']:.2f}"
         lg.info(msg + f" | {results['images_per_sec']:.3f} img/s")
         return results
 
