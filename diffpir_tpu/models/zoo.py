@@ -70,6 +70,11 @@ def model_config_for(model_name: str) -> UNetConfig:
         return MODEL_ZOO_CONFIGS[model_name]
     if model_name in _DEMO_CONFIGS:
         return _DEMO_CONFIGS[model_name]
+    for k, c in _DEMO_CONFIGS.items():
+        # checkpoint variants of a demo arch (e.g. demo256_60k: the same 54M
+        # topology at a different training step) share the base config
+        if model_name.startswith(k):
+            return c
     if model_name.startswith("tiny"):
         return TINY_TEST_CONFIG
     raise KeyError(f"unknown model {model_name!r}; known: "

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Protocol-scale evaluation: 100 images x {task} x {sigma_y} x {NFE} on TPU.
+
+Mirrors the reference's published evaluation protocol
+(``/root/reference/README.md:121-138``): 100 validation images
+(``testsets/demo256_val100``, held-out draws of the demo256 training
+distribution — scripts/make_valset.py), tasks {inpaint, deblur, SR x4}, both
+noise levels {sigma_y = 0, 0.05} and both NFE points {20, 100} (the reference
+publishes the 20/100 pair for inpainting and 100 for the rest; we fill the
+whole matrix — the extra cells are one compiled program each).
+
+Per cell, (lambda, zeta) is picked by the single-launch grid autotuner
+(``Runner.tune_operating_point`` — a 20-point per-sample grid costs ONE
+device launch through the same compiled program the evaluation uses), then
+``Runner.evaluate`` runs the full set with PSNR/SSIM and steady-state
+throughput.  The evaluation passes (lambda, zeta) as length-B vectors so the
+tuner and the evaluator share one (sweep-stable) vector trace per program.
+
+Usage:
+  python scripts/eval_protocol.py [--model demo256] [--tasks inpaint ...]
+      [--nfes 100 20] [--sigmas 0 12.75] [--batch 20] [--out results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CONFIGS = {
+    "inpaint": "configs/demo256_inpaint.yaml",
+    "deblur": "configs/demo256_deblur.yaml",
+    "sr": "configs/demo256_sisr.yaml",
+}
+
+# lambda grids per (task, noisy?) — 10 points, crossed with 2 zeta values so
+# the 20-point grid exactly fills one service batch.  Seeded from the
+# round-3 coarse probes (BASELINE.md): sigma=0 optima sit at large lambda for
+# deblur/sr (weak data-noise -> strong fidelity), noisy optima at small
+# lambda.
+LAMBDA_GRID = {
+    ("inpaint", False): (0.5, 1.0, 1.5, 2.0, 3.0, 5.0, 8.0, 12.0, 20.0, 40.0),
+    ("inpaint", True): (2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 16.0),
+    ("deblur", False): (20.0, 50.0, 90.0, 150.0, 250.0, 400.0, 650.0,
+                        1000.0, 1500.0, 2500.0),
+    ("deblur", True): (0.7, 1.0, 1.5, 2.0, 2.5, 3.0, 4.0, 5.5, 7.5, 10.0),
+    ("sr", False): (20.0, 50.0, 90.0, 150.0, 250.0, 400.0, 650.0,
+                    1000.0, 1500.0, 2500.0),
+    ("sr", True): (1.5, 2.5, 3.5, 5.0, 6.0, 7.0, 8.0, 10.0, 13.0, 18.0),
+}
+ZETAS = (1.0, 0.5)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="demo256")
+    ap.add_argument("--testset", default="demo256_val100")
+    ap.add_argument("--tasks", nargs="+", default=list(CONFIGS),
+                    choices=list(CONFIGS))
+    ap.add_argument("--nfes", nargs="+", type=int, default=[100, 20])
+    ap.add_argument("--sigmas", nargs="+", type=float, default=[0.0, 12.75],
+                    help="noise_level_img on the 0-255 scale "
+                         "(12.75 = the reference's sigma_y 0.05)")
+    ap.add_argument("--batch", type=int, default=20)
+    ap.add_argument("--no-tune", action="store_true",
+                    help="use the config operating point as-is")
+    ap.add_argument("--out", default=None, help="append JSONL results here")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N images (smoke tests)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from diffpir_tpu.config import load_config
+    from diffpir_tpu.runner import Runner
+
+    rows = []
+
+    def emit(row: dict) -> None:
+        rows.append(row)
+        print("RESULT " + json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+    for task in args.tasks:
+        for nfe in args.nfes:
+            for sigma in args.sigmas:
+                noisy = sigma > 0
+                over = dict(model_name=args.model, testset_name=args.testset,
+                            batch_size=args.batch, iter_num=nfe,
+                            noise_level_img=sigma, save_E=False,
+                            save_L=False, save_LEH=False, log_process=False)
+                if task == "inpaint" and noisy:
+                    # recover_known would paste the NOISY observed pixels
+                    # into the output (round-3 noisy probe finding)
+                    over["recover_known"] = False
+                cfg = load_config(CONFIGS[task], overrides=over)
+                runner = Runner(cfg)
+                paths = None
+                if args.limit:
+                    from diffpir_tpu.utils import image as im
+
+                    paths = im.list_images(cfg.L_path)[:args.limit]
+                t0 = time.perf_counter()
+                if args.no_tune:
+                    lam, zeta = cfg.lambda_, cfg.zeta
+                else:
+                    pts = [(l, z) for z in ZETAS
+                           for l in LAMBDA_GRID[(task, noisy)]]
+                    tune = runner.tune_operating_point(pts)
+                    lam, zeta = tune["best"]["lambda_"], tune["best"]["zeta"]
+                    print(f"tuned {task} nfe={nfe} sigma={sigma}: "
+                          f"lambda={lam} zeta={zeta} "
+                          f"(best-of-{len(pts)}, single-image PSNR "
+                          f"{tune['best']['psnr']:.2f} dB, "
+                          f"{time.perf_counter() - t0:.0f}s incl. compile)",
+                          flush=True)
+                # vector form shares the tuner's compiled trace
+                lam_v = np.full(args.batch, lam, np.float32)
+                zeta_v = np.full(args.batch, zeta, np.float32)
+                res = runner.evaluate(lambda_=lam_v, zeta=zeta_v, save=False,
+                                      paths=paths)
+                emit(dict(model=args.model, task=task, nfe=nfe,
+                          sigma=round(sigma / 255.0, 4), lambda_=lam,
+                          zeta=zeta, psnr=round(float(res["psnr"]), 3),
+                          ssim=round(float(res["ssim"]), 4),
+                          images_per_sec=round(float(res["images_per_sec"]),
+                                               3),
+                          n_images=int(res["n_images"]),
+                          wall_s=round(time.perf_counter() - t0, 1)))
+
+    # markdown summary
+    print("\n| task | NFE | sigma_y | lambda | zeta | PSNR (dB) | SSIM | "
+          "img/s |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['task']} | {r['nfe']} | {r['sigma']} | {r['lambda_']:g}"
+              f" | {r['zeta']:g} | {r['psnr']:.2f} | {r['ssim']:.4f} | "
+              f"{r['images_per_sec']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
