@@ -173,6 +173,7 @@ def _demo256_eval(task_yaml: str, overrides: dict) -> dict:
     return Runner(cfg, use_mesh=False).evaluate(save=False)
 
 
+@pytest.mark.demo256
 def test_demo256_inpaint_quality():
     """Flagship-topology 256px prior (VERDICT r2 item 1): random-mask
     inpainting on held-out 256px synthetics through the full runner path —
@@ -182,14 +183,33 @@ def test_demo256_inpaint_quality():
     assert res["ssim"] > 0.9, res
 
 
+@pytest.mark.demo256
 def test_demo256_deblur_quality():
     res = _demo256_eval("demo256_deblur.yaml", {})
     assert res["psnr"] > 28.0, res
 
 
+@pytest.mark.demo256
 def test_demo256_sr_quality():
     res = _demo256_eval("demo256_sisr.yaml", {})
     assert res["psnr"] > 24.0, res
+
+
+@pytest.mark.demo256
+def test_demo256_noisy_inpaint_quality():
+    """The 256px NOISY path pin (VERDICT r3 weak 2): sigma_y = 0.05
+    (noise_level_img 12.75, the published tables' setting) at 256px — a
+    regression in the noisy plan math (sigma-bar vs sigma_k rho weighting,
+    schedule.build_plan) would previously only be caught at 64px.
+    recover_known stays off: pasting the noisy observed pixels into the
+    output hurts at sigma_y > 0 (round-3 probe).  Operating point from the
+    round-4 TPU grid autotune (BASELINE.md); 20 NFE with a conservative
+    threshold to contain CPU-suite cost."""
+    res = _demo256_eval("demo256_inpaint.yaml",
+                        {"noise_level_img": 12.75, "recover_known": False,
+                         "lambda_": 7.0})
+    assert res["psnr"] > 30.0, res
+    assert res["ssim"] > 0.85, res
 
 
 def test_demo64_noisy_deblur_quality():
