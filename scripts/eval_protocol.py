@@ -70,6 +70,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=20)
     ap.add_argument("--no-tune", action="store_true",
                     help="use the config operating point as-is")
+    ap.add_argument("--zetas", nargs="+", type=float, default=list(ZETAS),
+                    help="zeta values crossed with the lambda grid (the "
+                         "reference publishes zeta=0.1 deblur / 0.25 SR — "
+                         "finer-than-default grids probe that regime)")
+    ap.add_argument("--lambdas", nargs="+", type=float, default=None,
+                    help="override the per-(task, noisy) lambda grid")
     ap.add_argument("--out", default=None, help="append JSONL results here")
     ap.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N images (smoke tests)")
@@ -119,8 +125,8 @@ def main() -> None:
                 if args.no_tune:
                     lam, zeta = cfg.lambda_, cfg.zeta
                 else:
-                    pts = [(l, z) for z in ZETAS
-                           for l in LAMBDA_GRID[(task, noisy)]]
+                    lams = args.lambdas or LAMBDA_GRID[(task, noisy)]
+                    pts = [(l, z) for z in args.zetas for l in lams]
                     tune = runner.tune_operating_point(pts)
                     lam, zeta = tune["best"]["lambda_"], tune["best"]["zeta"]
                     print(f"tuned {task} nfe={nfe} sigma={sigma}: "
