@@ -598,72 +598,97 @@ class Runner:
 
     def tune_operating_point(self, points, *, batch: Optional[Batch] = None,
                              paths: Optional[list[str]] = None,
-                             index: int = 0,
+                             index: int = 0, indices=None,
                              seed: Optional[int] = None) -> dict:
-        """Autotune (lambda, zeta) for ONE observation in a single launch.
+        """Autotune (lambda, zeta) on one or more observations, one launch each.
 
         Replicates one degraded observation ``len(points)`` times and
         restores the replicas with a PER-SAMPLE (lambda, zeta) vector, so the
         whole candidate grid costs one device launch through one compiled
-        program (the sweep-stable vector trace of ``restore_batch``).  The
-        reference explores operating points only by re-running its entire
-        driver per value (``main_ddpir.py:548-580`` mutates the config and
-        calls ``test_rho`` once per sweep point).
+        program (the sweep-stable vector trace of ``restore_batch``).  With
+        ``indices=(i0, i1, ...)`` the same compiled program is re-launched
+        once per image (identical shapes -> no recompile) and candidates are
+        ranked by MEAN PSNR across the images — a few launches de-risk the
+        single-image tune overfitting its one observation.  The reference
+        explores operating points only by re-running its entire driver per
+        value (``main_ddpir.py:548-580`` mutates the config and calls
+        ``test_rho`` once per sweep point).
 
         Args:
           points: sequence of ``(lambda, zeta)`` candidates; ``zeta=None``
             means the config default.
           batch: optional Batch whose row 0 is the observation to tune on;
             when absent the observation is taken from the configured test
-            set (``paths``/``index`` pick the image, default the first).
-          seed: PRNG seed (default ``cfg.seed``).  All replicas share one
-            batch key, so candidates differ only in their operating point.
+            set (``paths``/``index``/``indices`` pick the image(s)).
+          indices: optional sequence of test-set indices to average over
+            (overrides ``index``; incompatible with ``batch``).
+          seed: PRNG base seed (default ``cfg.seed``); launch k uses seed+k.
+            Within a launch all replicas share one batch key, so candidates
+            differ only in their operating point.
 
         Returns ``{"results": [...], "best": {...}, "output": (H,W,C)}`` —
-        per-candidate PSNR (and SSIM when ``cfg.calc_SSIM``) vs the ground
-        truth in input order, the best row, and its restored image.
+        per-candidate mean PSNR (and SSIM when ``cfg.calc_SSIM``) vs the
+        ground truth in input order, the best row, and the best candidate's
+        restore of the first tuned image.
         """
         cfg = self.cfg
         pts = [(float(l), cfg.zeta if z is None else float(z))
                for l, z in points]
         if not pts:
             raise ValueError("points must be non-empty")
-        if batch is None:
+        if batch is not None:
+            if indices is not None:
+                raise ValueError("pass either batch or indices, not both")
+            batches = [batch]
+        else:
             np.random.seed(cfg.seed)
             items = prepare_images(cfg, paths)
-            if index >= len(items):
-                raise IndexError(f"index {index} >= {len(items)} test images")
-            batch = make_batches([items[index]], 1)[0]
+            idxs = list(indices) if indices is not None else [index]
+            for i in idxs:
+                if i >= len(items):
+                    raise IndexError(f"index {i} >= {len(items)} test images")
+            batches = [make_batches([items[i]], 1)[0] for i in idxs]
         P = len(pts)
         n = P
         if self.mesh is not None and "data" in self.mesh_axes:
             d = self.mesh.shape["data"]
             n = ((P + d - 1) // d) * d  # pad rows to shard evenly
-        rep = lambda a: None if a is None else np.repeat(a[:1], n, axis=0)
-        grid = Batch(img_H=rep(batch.img_H), img_L=rep(batch.img_L),
-                     kernel=rep(batch.kernel), mask=rep(batch.mask),
-                     names=[batch.names[0]] * n, init=rep(batch.init))
         lams = np.array([l for l, _ in pts] + [pts[-1][0]] * (n - P),
                         np.float32)
         zets = np.array([z for _, z in pts] + [pts[-1][1]] * (n - P),
                         np.float32)
-        out = self.restore_batch(grid, lambda_=lams, zeta=zets,
-                                 seed=cfg.seed if seed is None else seed)
-        if isinstance(out, tuple):  # drop progress frames if configured
-            out = out[0]
-        gt = batch.img_H[0].astype(np.float32) / 255.0
+        base_seed = cfg.seed if seed is None else seed
+        psnr_acc = np.zeros(P, np.float64)
+        ssim_acc = np.zeros(P, np.float64)
+        first_out = None
+        for k, b in enumerate(batches):
+            rep = lambda a: None if a is None else np.repeat(a[:1], n, axis=0)
+            grid = Batch(img_H=rep(b.img_H), img_L=rep(b.img_L),
+                         kernel=rep(b.kernel), mask=rep(b.mask),
+                         names=[b.names[0]] * n, init=rep(b.init))
+            out = self.restore_batch(grid, lambda_=lams, zeta=zets,
+                                     seed=base_seed + k)
+            if isinstance(out, tuple):  # drop progress frames if configured
+                out = out[0]
+            if first_out is None:
+                first_out = out
+            gt = b.img_H[0].astype(np.float32) / 255.0
+            for i in range(P):
+                psnr_acc[i] += float(im.psnr_batch(out[i:i + 1] * 2 - 1,
+                                                   gt[None] * 2 - 1))
+                if cfg.calc_SSIM:
+                    ssim_acc[i] += float(im.ssim(im.single2uint(out[i]),
+                                                 b.img_H[0]))
         results = []
         for i, (lam, zet) in enumerate(pts):
             row = {"lambda_": lam, "zeta": zet,
-                   "psnr": float(im.psnr_batch(out[i:i + 1] * 2 - 1,
-                                               gt[None] * 2 - 1))}
+                   "psnr": float(psnr_acc[i] / len(batches))}
             if cfg.calc_SSIM:
-                row["ssim"] = float(im.ssim(im.single2uint(out[i]),
-                                            batch.img_H[0]))
+                row["ssim"] = float(ssim_acc[i] / len(batches))
             results.append(row)
         best_i = int(np.argmax([r["psnr"] for r in results]))
         return {"results": results, "best": results[best_i],
-                "output": out[best_i]}
+                "output": first_out[best_i]}
 
 
 def dryrun_restore(n_devices: int) -> None:

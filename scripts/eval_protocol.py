@@ -76,6 +76,10 @@ def main() -> None:
                          "finer-than-default grids probe that regime)")
     ap.add_argument("--lambdas", nargs="+", type=float, default=None,
                     help="override the per-(task, noisy) lambda grid")
+    ap.add_argument("--tune-images", type=int, default=1,
+                    help="average the tune grid over the first K val images "
+                         "(K launches of ONE compiled program — de-risks "
+                         "single-image tune overfit)")
     ap.add_argument("--out", default=None, help="append JSONL results here")
     ap.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N images (smoke tests)")
@@ -127,12 +131,13 @@ def main() -> None:
                 else:
                     lams = args.lambdas or LAMBDA_GRID[(task, noisy)]
                     pts = [(l, z) for z in args.zetas for l in lams]
-                    tune = runner.tune_operating_point(pts)
+                    tune = runner.tune_operating_point(
+                        pts, indices=range(args.tune_images))
                     lam, zeta = tune["best"]["lambda_"], tune["best"]["zeta"]
                     print(f"tuned {task} nfe={nfe} sigma={sigma}: "
                           f"lambda={lam} zeta={zeta} "
-                          f"(best-of-{len(pts)}, single-image PSNR "
-                          f"{tune['best']['psnr']:.2f} dB, "
+                          f"(best-of-{len(pts)}, {args.tune_images}-image "
+                          f"mean PSNR {tune['best']['psnr']:.2f} dB, "
                           f"{time.perf_counter() - t0:.0f}s incl. compile)",
                           flush=True)
                 # vector form shares the tuner's compiled trace

@@ -127,6 +127,31 @@ def test_tune_operating_point_single_launch():
     np.testing.assert_allclose(res["results"][0]["psnr"], psnr0, atol=1e-2)
 
 
+def test_tune_operating_point_multi_image_mean():
+    """indices=(i0, i1, ...) averages the grid over several val images with
+    one launch each (same compiled program): candidate k's score must equal
+    the mean of the single-image tunes, and seeds must line up (launch j uses
+    base_seed + j, matching a single-image tune at seed base_seed + j)."""
+    cfg = load_config("configs/demo32_inpaint.yaml", overrides={
+        "model_name": "tiny_test", "iter_num": 3, "noise_level_img": 12.75})
+    r = Runner(cfg, use_mesh=False)
+    pts = [(0.5, None), (8.0, None)]
+    r0 = r.tune_operating_point(pts, index=0, seed=3)
+    r1 = r.tune_operating_point(pts, index=1, seed=4)
+    rm = r.tune_operating_point(pts, indices=(0, 1), seed=3)
+    for k in range(len(pts)):
+        np.testing.assert_allclose(
+            rm["results"][k]["psnr"],
+            (r0["results"][k]["psnr"] + r1["results"][k]["psnr"]) / 2,
+            atol=1e-6)
+    # all launches (single- and multi-image) share ONE compiled program
+    assert r._restore_jit["fn"]._cache_size() == 1
+    # the returned output is the best candidate's restore of the FIRST image
+    assert rm["output"].shape == r0["output"].shape
+    with pytest.raises(ValueError):
+        r.tune_operating_point(pts, batch=_batch("inpaint"), indices=(0, 1))
+
+
 def test_tune_operating_point_mesh_padding():
     """Candidate count that does not divide the mesh data axis is padded
     with replicas and sliced back — 3 candidates on 8 devices."""
