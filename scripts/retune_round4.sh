@@ -15,8 +15,8 @@ M=${MODEL:-demo256}
 
 # noisy cells, NFE=100 (programs shared with sat eval)
 python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
-    --sigmas 12.75 --lambdas 1.5 2 2.5 3 --zetas 1.0 0.8 0.6 0.4 0.2 --out $OUT
+    --sigmas 12.75 --lambdas 1.5 2 2.5 3 --zetas 1.0 0.8 0.6 0.4 0.2 --tune-images 4 --out $OUT
 python scripts/eval_protocol.py --model "$M" --tasks sr --nfes 100 \
-    --sigmas 12.75 --lambdas 1 1.5 2 3 --zetas 1.0 0.8 0.6 0.4 0.2 --out $OUT
+    --sigmas 12.75 --lambdas 1 1.5 2 3 --zetas 1.0 0.8 0.6 0.4 0.2 --tune-images 4 --out $OUT
 python scripts/eval_protocol.py --model "$M" --tasks inpaint --nfes 100 \
-    --sigmas 12.75 --lambdas 3 5 7 10 --zetas 1.0 0.8 0.6 0.4 0.2 --out $OUT
+    --sigmas 12.75 --lambdas 3 5 7 10 --zetas 1.0 0.8 0.6 0.4 0.2 --tune-images 4 --out $OUT
