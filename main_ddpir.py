@@ -36,6 +36,10 @@ def parse_args():
                         "may be 'lambda' or 'lambda:zeta'")
     p.add_argument("--tune-index", type=int, default=0, metavar="I",
                    help="test-set image index --tune runs on (default 0)")
+    p.add_argument("--tune-images", type=int, default=1, metavar="K",
+                   help="average the --tune grid over K consecutive test "
+                        "images starting at --tune-index (K launches of one "
+                        "compiled program)")
     p.add_argument("--json", action="store_true", help="print results as JSON")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the evaluation into DIR")
@@ -83,7 +87,11 @@ def main():
             for tok in args.tune.split(","):
                 lam, _, zet = tok.partition(":")
                 pts.append((float(lam), float(zet) if zet else None))
-            res = runner.tune_operating_point(pts, index=args.tune_index)
+            res = runner.tune_operating_point(
+                pts, index=args.tune_index,
+                indices=(range(args.tune_index,
+                               args.tune_index + args.tune_images)
+                         if args.tune_images > 1 else None))
             print(f"{'lambda':>8} {'zeta':>6} {'PSNR':>8}"
                   + ("    SSIM" if cfg.calc_SSIM else ""))
             for row in res["results"]:
@@ -93,7 +101,7 @@ def main():
             best = res["best"]
             print(f"best: lambda={best['lambda_']:g} zeta={best['zeta']:g} "
                   f"({best['psnr']:.3f} dB) — {len(pts)} candidates, "
-                  f"one launch")
+                  f"{args.tune_images} launch(es) of one compiled program")
             if args.json:
                 json.dump(res["results"], sys.stdout, indent=2, default=float)
                 print()
