@@ -76,6 +76,14 @@ def main() -> None:
                          "finer-than-default grids probe that regime)")
     ap.add_argument("--lambdas", nargs="+", type=float, default=None,
                     help="override the per-(task, noisy) lambda grid")
+    ap.add_argument("--blur-mode", default=None,
+                    choices=["gaussian", "motion-diy"],
+                    help="override the deblur kernel family: 'gaussian' = "
+                         "the reference's Gaussian-deblur setting "
+                         "(use_DIY_kernel, 61px, std 3.0 x per-image "
+                         "|2u+1| draw — main_ddpir_deblur.py:64-66), "
+                         "'motion-diy' = per-image synthesized motion "
+                         "kernels; default keeps the config (Levin09)")
     ap.add_argument("--tune-images", type=int, default=1,
                     help="average the tune grid over the first K val images "
                          "(K launches of ONE compiled program — de-risks "
@@ -118,6 +126,12 @@ def main() -> None:
                     # recover_known would paste the NOISY observed pixels
                     # into the output (round-3 noisy probe finding)
                     over["recover_known"] = False
+                blur = None
+                if task == "deblur" and args.blur_mode:
+                    blur = args.blur_mode
+                    over.update(use_DIY_kernel=True, kernel_size=61,
+                                blur_mode=("Gaussian" if blur == "gaussian"
+                                           else "motion"))
                 cfg = load_config(CONFIGS[task], overrides=over)
                 runner = Runner(cfg)
                 paths = None
@@ -145,7 +159,8 @@ def main() -> None:
                 zeta_v = np.full(args.batch, zeta, np.float32)
                 res = runner.evaluate(lambda_=lam_v, zeta=zeta_v, save=False,
                                       paths=paths)
-                emit(dict(model=args.model, task=task, nfe=nfe,
+                emit(dict(model=args.model,
+                          task=(f"{task}[{blur}]" if blur else task), nfe=nfe,
                           sigma=round(sigma / 255.0, 4), lambda_=lam,
                           zeta=zeta, psnr=round(float(res["psnr"]), 3),
                           ssim=round(float(res["ssim"]), 4),
