@@ -84,6 +84,12 @@ def main() -> None:
                          "|2u+1| draw — main_ddpir_deblur.py:64-66), "
                          "'motion-diy' = per-image synthesized motion "
                          "kernels; default keeps the config (Levin09)")
+    ap.add_argument("--mask-type", default=None,
+                    choices=["box", "random", "extreme"],
+                    help="override the inpainting mask family; the reference "
+                         "publishes box AND random-50%% rows "
+                         "(README.md:137-138). Same compiled program as the "
+                         "config default (masks are data, not shapes)")
     ap.add_argument("--tune-images", type=int, default=1,
                     help="average the tune grid over the first K val images "
                          "(K launches of ONE compiled program — de-risks "
@@ -126,12 +132,15 @@ def main() -> None:
                     # recover_known would paste the NOISY observed pixels
                     # into the output (round-3 noisy probe finding)
                     over["recover_known"] = False
-                blur = None
+                variant = None
                 if task == "deblur" and args.blur_mode:
-                    blur = args.blur_mode
+                    variant = args.blur_mode
                     over.update(use_DIY_kernel=True, kernel_size=61,
-                                blur_mode=("Gaussian" if blur == "gaussian"
+                                blur_mode=("Gaussian" if variant == "gaussian"
                                            else "motion"))
+                if task == "inpaint" and args.mask_type:
+                    variant = args.mask_type
+                    over["mask_type"] = args.mask_type
                 cfg = load_config(CONFIGS[task], overrides=over)
                 runner = Runner(cfg)
                 paths = None
@@ -160,7 +169,8 @@ def main() -> None:
                 res = runner.evaluate(lambda_=lam_v, zeta=zeta_v, save=False,
                                       paths=paths)
                 emit(dict(model=args.model,
-                          task=(f"{task}[{blur}]" if blur else task), nfe=nfe,
+                          task=(f"{task}[{variant}]" if variant
+                                else task), nfe=nfe,
                           sigma=round(sigma / 255.0, 4), lambda_=lam,
                           zeta=zeta, psnr=round(float(res["psnr"]), 3),
                           ssim=round(float(res["ssim"]), 4),

@@ -10,7 +10,7 @@
 set -ex
 OUT=${OUT:-results_protocol/round4/final_matrix.jsonl}
 M=${MODEL:-demo256}
-stages=${*:-clean100 noisy100 nfe20 gaussian}
+stages=${*:-clean100 noisy100 nfe20 gaussian box}
 
 for s in $stages; do
   case $s in
@@ -36,5 +36,10 @@ for s in $stages; do
           --sigmas 0 --blur-mode gaussian --tune-images 4 --out "$OUT"
       python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
           --sigmas 12.75 --blur-mode gaussian --tune-images 4 --out "$OUT" ;;
+    box)        # box-mask inpainting at the reference's 20/100-NFE pair
+                # (README.md:137-138) — same compiled programs as random-mask
+      python scripts/eval_protocol.py --model "$M" --tasks inpaint \
+          --nfes 100 20 --sigmas 0 --mask-type box --tune-images 4 \
+          --out "$OUT" ;;
   esac
 done
