@@ -323,8 +323,10 @@ def box_mask(image_size=256, mask_len_range=(128, 129), margin=(16, 16),
     h = int(rng.integers(lo, hi))
     w = int(rng.integers(lo, hi))
     mh, mw = margin
-    t = int(rng.integers(mh, H - mh - h))
-    l = int(rng.integers(mw, W - mw - w))
+    # max(..) keeps the exactly-fitting case (H == h + 2*mh) placeable at the
+    # margin instead of raising low >= high (the reference would crash too)
+    t = int(rng.integers(mh, max(H - mh - h, mh + 1)))
+    l = int(rng.integers(mw, max(W - mw - w, mw + 1)))
     mask = np.ones((H, W), np.float32)
     mask[t:t + h, l:l + w] = 0.0
     return mask
@@ -346,7 +348,17 @@ def random_mask(image_size=256, mask_prob_range=(0.5, 0.5),
 def make_mask(mask_type: str, image_size=256, mask_len_range=(128, 129),
               mask_prob_range=(0.5, 0.5), margin=(16, 16),
               rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Dispatch over the reference's mask types (box|random|extreme)."""
+    """Dispatch over the reference's mask types (box|random|both|extreme).
+
+    ``both`` = a per-image fair coin between the box and random families (the
+    semantics the name implies).  The reference asserts 'both' as a valid
+    type (``utils/utils_inpaint.py:95``) but its ``__call__`` has no branch
+    for it and silently returns ``None`` (``utils_inpaint.py:127-137``) — a
+    reference bug this implementation fixes rather than reproduces.
+    """
+    rng = rng or np.random.default_rng()
+    if mask_type == "both":
+        mask_type = "box" if rng.uniform() < 0.5 else "random"
     if mask_type == "random":
         return random_mask(image_size, mask_prob_range, rng)
     if mask_type == "box":

@@ -437,8 +437,18 @@ class Runner:
     def evaluate(self, lambda_: Optional[float] = None,
                  zeta: Optional[float] = None,
                  paths: Optional[list[str]] = None,
-                 save: Optional[bool] = None) -> dict:
-        """Full test-set evaluation with reference-parity metrics and logging."""
+                 save: Optional[bool] = None,
+                 hole_metrics: bool = False) -> dict:
+        """Full test-set evaluation with reference-parity metrics and logging.
+
+        ``hole_metrics=True`` (inpainting) additionally reports
+        ``psnr_hole``/``ssim_hole`` — PSNR/SSIM restricted to the masked-out
+        (mask == 0) pixels.  With ``recover_known`` the observed pixels are
+        pasted exactly, so the full-image numbers only dilute the hole error
+        by the mask ratio (a 128px box on 256px saturates them ~6 dB high);
+        the reference avoids this by publishing box-inpaint FID/LPIPS and no
+        PSNR at all (``README.md:137-138``) — the hole metrics measure what
+        the model actually painted, at any mask size."""
         cfg = self.cfg
         lambda_ = cfg.lambda_ if lambda_ is None else lambda_
         zeta = cfg.zeta if zeta is None else zeta
@@ -475,6 +485,7 @@ class Runner:
             fid = FidScorer(cfg.fid_weights)
 
         psnrs, psnrs_y, ssims, lpipss, times, n_imgs = [], [], [], [], [], 0
+        psnrs_hole, ssims_hole = [], []
         if save and cfg.task == "inpaint" and cfg.save_progressive_mask and batches:
             im.imsave_batch(batches[0].mask, batches[0].names, cfg.E_path, "mask_")
 
@@ -514,6 +525,17 @@ class Runner:
                     psnr_y = im.psnr_batch(y3(x0 * 2 - 1), y3(gt * 2 - 1))
                 psnrs_y.append(psnr_y * nb)
             msg = f"batch{bi + 1:->4d}--> PSNR: {psnr:.4f}dB"
+            if hole_metrics:
+                hole = 1.0 - batch.mask[:nb, :, :, 0]  # (nb, H, W), 1 = hole
+                ph = float(np.mean([
+                    im.psnr_region(x0[j] * 2 - 1, gt[j] * 2 - 1,
+                                   hole[j][:, :, None]) for j in range(nb)]))
+                sh = float(np.mean([
+                    im.ssim(E_uint[j], batch.img_H[j], region=hole[j])
+                    for j in range(nb)]))
+                psnrs_hole.append(ph * nb)
+                ssims_hole.append(sh * nb)
+                msg += f"; hole PSNR: {ph:.4f}dB SSIM: {sh:.4f}"
             if cfg.calc_SSIM:
                 sv = float(np.mean([im.ssim(E_uint[j], batch.img_H[j])
                                     for j in range(nb)]))
@@ -579,6 +601,8 @@ class Runner:
             "ssim": sum(ssims) / n_imgs if ssims else None,
             "lpips": sum(lpipss) / n_imgs if lpipss else None,
             "fid": fid.score() if fid is not None else None,
+            "psnr_hole": sum(psnrs_hole) / n_imgs if psnrs_hole else None,
+            "ssim_hole": sum(ssims_hole) / n_imgs if ssims_hole else None,
             "n_images": n_imgs,
             "images_per_sec": n_imgs / wall if wall > 0 else 0.0,
             "lambda_": lambda_, "zeta": zeta,
@@ -589,6 +613,9 @@ class Runner:
             msg += f" | SSIM: {results['ssim']:.4f}"
         if results["fid"] is not None:
             msg += f" | FID: {results['fid']:.2f}"
+        if results["psnr_hole"] is not None:
+            msg += (f" | hole PSNR: {results['psnr_hole']:.4f} dB "
+                    f"SSIM: {results['ssim_hole']:.4f}")
         lg.info(msg + f" | {results['images_per_sec']:.3f} img/s")
         return results
 
@@ -644,6 +671,9 @@ class Runner:
             np.random.seed(cfg.seed)
             items = prepare_images(cfg, paths)
             idxs = list(indices) if indices is not None else [index]
+            if not idxs:
+                raise ValueError("indices must be non-empty (need at least "
+                                 "one image to tune on)")
             for i in idxs:
                 if i >= len(items):
                     raise IndexError(f"index {i} >= {len(items)} test images")

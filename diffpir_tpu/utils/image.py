@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Iterable, Sequence
+from typing import Iterable, Optional, Sequence
 
 import numpy as np
 
@@ -171,6 +171,30 @@ def psnr_batch(batch1: np.ndarray, batch2: np.ndarray, max_pixel: float = 2.0,
     return float(np.mean(vals))
 
 
+def psnr_region(img1: np.ndarray, img2: np.ndarray, region: np.ndarray,
+                max_pixel: float = 2.0) -> float:
+    """PSNR over ``region > 0`` pixels only (single image, fp64 accumulation).
+
+    The inpainting analogue of ``psnr``: with ``recover_known`` the observed
+    pixels are pasted exactly, so full-image PSNR only *dilutes* the hole
+    error by the mask ratio — the reference sidesteps this by publishing
+    box-inpaint FID/LPIPS instead of PSNR (``README.md:137-138``); measuring
+    the hole directly keeps PSNR meaningful at any mask size.  ``region``
+    broadcasts against the image (e.g. (H, W, 1) against (H, W, C)).
+    """
+    if img1.shape != img2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    w = np.broadcast_to(np.asarray(region, np.float64) > 0, img1.shape)
+    n = w.sum()
+    if n == 0:
+        return float("nan")
+    d = ((img1.astype(np.float64) - img2.astype(np.float64)) * w).ravel()
+    mse = np.einsum("i,i->", d, d) / n
+    if mse == 0:
+        return float("inf")
+    return float(20 * np.log10(max_pixel / np.sqrt(mse)))
+
+
 def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     # cv2.getGaussianKernel equivalent (1-D; SSIM applies it separably)
     ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
@@ -193,7 +217,8 @@ def _gauss_filter_valid(x: np.ndarray, k1d: np.ndarray) -> np.ndarray:
     return y[wing:-wing, wing:-wing]
 
 
-def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
+def _ssim_single(img1: np.ndarray, img2: np.ndarray,
+                 region: Optional[np.ndarray] = None) -> float:
     C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
     img1 = img1.astype(np.float64)
     img2 = img2.astype(np.float64)
@@ -209,19 +234,35 @@ def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
     s12 = _gauss_filter_valid(img1 * img2, k1d) - mu1_mu2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
-    return float(ssim_map.mean())
+    if region is None:
+        return float(ssim_map.mean())
+    # region-restricted mean of the SSIM map (cropped to the same valid
+    # grid); windows centered on region pixels may still see up to 5px of
+    # out-of-region context — standard practice for masked SSIM
+    wing = len(k1d) // 2
+    w = (np.asarray(region, np.float64) > 0)[wing:-wing, wing:-wing]
+    n = w.sum()
+    if n == 0:
+        return float("nan")
+    return float((ssim_map * w).sum() / n)
 
 
-def ssim(img1: np.ndarray, img2: np.ndarray, border: int = 0) -> float:
-    """MATLAB-style SSIM on [0,255] images; RGB averages per-channel SSIM."""
+def ssim(img1: np.ndarray, img2: np.ndarray, border: int = 0,
+         region: Optional[np.ndarray] = None) -> float:
+    """MATLAB-style SSIM on [0,255] images; RGB averages per-channel SSIM.
+
+    ``region`` (H, W), if given, restricts the SSIM-map mean to region>0
+    pixels (see ``psnr_region`` — the box-inpainting hole metric)."""
     if img1.shape != img2.shape:
         raise ValueError("Input images must have the same dimensions.")
     img1, img2 = shave(img1, border), shave(img2, border)
+    if region is not None:
+        region = shave(region, border)
     if img1.ndim == 2:
-        return _ssim_single(img1, img2)
+        return _ssim_single(img1, img2, region)
     if img1.shape[2] == 1:
-        return _ssim_single(img1[..., 0], img2[..., 0])
-    return float(np.mean([_ssim_single(img1[..., c], img2[..., c])
+        return _ssim_single(img1[..., 0], img2[..., 0], region)
+    return float(np.mean([_ssim_single(img1[..., c], img2[..., c], region)
                           for c in range(img1.shape[2])]))
 
 

@@ -185,3 +185,36 @@ def test_solve_min_laplacian_degenerate_shapes_match_reference():
             boundary.solve_min_laplacian(b.copy()),
             rd.solve_min_laplacian(b.copy()), atol=1e-10,
             err_msg=str(shape))
+
+
+def test_make_mask_both_mixes_box_and_random_families():
+    """mask_type 'both' = per-image fair coin between box and random.
+
+    The reference declares 'both' valid (utils_inpaint.py:95) but its
+    __call__ has no branch for it and returns None (utils_inpaint.py:127-137)
+    — here it must produce a REAL mask from one of the two families, choose
+    per-image (different seeds hit both families), and stay seed-reproducible.
+    """
+    from diffpir_tpu.ops.degrade import make_mask
+
+    def family(m):
+        # a box mask's zero set is one solid axis-aligned rectangle; a
+        # random mask's is ~50% scattered pixels
+        holes = (m == 0)
+        rows, cols = np.where(holes)
+        rect = (rows.max() - rows.min() + 1) * (cols.max() - cols.min() + 1)
+        return "box" if rect == holes.sum() else "random"
+
+    seen = set()
+    for seed in range(12):
+        m = make_mask("both", image_size=64, mask_len_range=(16, 17),
+                      mask_prob_range=(0.5, 0.5), margin=(4, 4),
+                      rng=np.random.default_rng(seed))
+        assert m.shape == (64, 64) and set(np.unique(m)) <= {0.0, 1.0}
+        seen.add(family(m))
+        # reproducible: same seed -> same mask
+        m2 = make_mask("both", image_size=64, mask_len_range=(16, 17),
+                       mask_prob_range=(0.5, 0.5), margin=(4, 4),
+                       rng=np.random.default_rng(seed))
+        np.testing.assert_array_equal(m, m2)
+    assert seen == {"box", "random"}, f"only saw {seen} in 12 draws"

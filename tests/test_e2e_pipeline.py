@@ -160,3 +160,24 @@ def test_ssim_and_psnr_y_modes(tiny_testset):
                   mask_prob_range=[0.3, 0.3], zeta=1.0, save_E=False,
                   calc_SSIM=False)
     assert Runner(off, use_mesh=False).evaluate(save=False)["ssim"] is None
+
+
+def test_inpaint_hole_metrics(tiny_testset):
+    """evaluate(hole_metrics=True): with recover_known + zero noise, errors
+    live only in the hole, so full PSNR == hole PSNR + 10*log10(1/hole_frac)
+    exactly — the dilution the hole metric exists to remove (the reference
+    publishes box-inpaint FID/LPIPS, never PSNR, README.md:137-138)."""
+    cfg = _config(tiny_testset, "inpaint", mask_type="box",
+                  mask_len_range=[16, 17], zeta=1.0, noise_level_img=0.0,
+                  recover_known=True, save_E=False)
+    runner = Runner(cfg, use_mesh=False)
+    res = runner.evaluate(save=False, hole_metrics=True)
+    assert res["psnr_hole"] is not None and res["ssim_hole"] is not None
+    assert np.isfinite(res["psnr_hole"]) and np.isfinite(res["ssim_hole"])
+    # hole is exactly 16x16 of 64x64 = 1/16 of pixels -> 10*log10(16) dilution
+    assert res["psnr"] == pytest.approx(
+        res["psnr_hole"] + 10 * np.log10(16.0), abs=0.05)
+    assert res["psnr_hole"] < res["psnr"]
+    # default path reports no hole metrics
+    res2 = runner.evaluate(save=False)
+    assert res2["psnr_hole"] is None and res2["ssim_hole"] is None

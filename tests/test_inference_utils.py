@@ -189,3 +189,31 @@ def test_ycbcr_parity_with_reference():
     # roundtrip: rgb -> ycbcr -> rgb within 1/255 quantization slack
     back = im.ycbcr_to_rgb(im.rgb_to_ycbcr(f32, only_y=False))
     assert float(np.abs(back - f32).max()) < 2.5 / 255.0
+
+
+def test_region_metrics_match_pixel_subset():
+    """psnr_region == PSNR over the extracted region pixels; full region ==
+    the plain metrics; empty region -> nan (masked-hole metric, VERDICT r4)."""
+    rng = np.random.default_rng(0)
+    a = rng.random((32, 32, 3)).astype(np.float32) * 2 - 1
+    b = a + rng.normal(0, 0.05, a.shape).astype(np.float32)
+    region = np.zeros((32, 32, 1), np.float32)
+    region[8:24, 4:20] = 1.0
+
+    got = im.psnr_region(a, b, region)
+    d = (a[8:24, 4:20].astype(np.float64) - b[8:24, 4:20]).ravel()
+    want = 20 * np.log10(2.0 / np.sqrt(np.mean(d * d)))
+    assert got == pytest.approx(want, rel=1e-9)
+    # full region reduces to the unmasked metric
+    assert im.psnr_region(a, b, np.ones((32, 32, 1))) == pytest.approx(
+        im.psnr_batch(a[None], b[None]), abs=1e-6)
+    assert np.isnan(im.psnr_region(a, b, np.zeros((32, 32, 1))))
+    assert im.psnr_region(a, a, region) == np.inf
+
+    u1 = im.single2uint(a / 2 + 0.5)
+    u2 = im.single2uint(np.clip(b, -1, 1) / 2 + 0.5)
+    s_full = im.ssim(u1, u2)
+    s_reg = im.ssim(u1, u2, region=region[..., 0])
+    assert np.isfinite(s_reg) and s_reg != s_full
+    assert im.ssim(u1, u2, region=np.ones((32, 32))) == pytest.approx(s_full)
+    assert np.isnan(im.ssim(u1, u2, region=np.zeros((32, 32))))
