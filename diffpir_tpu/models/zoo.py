@@ -26,7 +26,8 @@ import numpy as np
 from diffpir_tpu.models.unet import MODEL_ZOO_CONFIGS, UNet, UNetConfig
 
 __all__ = ["resolve_model", "create_model_and_diffusion", "TINY_TEST_CONFIG",
-           "save_params_npz", "load_params_npz", "ResolvedModel"]
+           "save_params_npz", "load_params_npz", "ResolvedModel",
+           "weights_path"]
 
 log = logging.getLogger(__name__)
 
@@ -62,7 +63,16 @@ DEMO256_CONFIG = UNetConfig(
     num_head_channels=64, dropout=0.0,
 )
 
-_DEMO_CONFIGS = {"demo64_hq": DEMO_HQ_CONFIG, "demo256": DEMO256_CONFIG}
+# Grayscale fixture: the reference threads n_channels through every driver
+# (main_ddpir.py:139, utils_image.py:147-159 L-mode read); a 1-channel prior
+# exercises that path end-to-end (out_channels=2 = eps + learned var).
+import dataclasses as _dc
+
+TINY_GRAY_CONFIG = _dc.replace(TINY_TEST_CONFIG, in_channels=1,
+                               out_channels=2)
+
+_DEMO_CONFIGS = {"demo64_hq": DEMO_HQ_CONFIG, "demo256": DEMO256_CONFIG,
+                 "tiny_gray": TINY_GRAY_CONFIG}
 
 
 def model_config_for(model_name: str) -> UNetConfig:
@@ -119,6 +129,31 @@ def load_params_npz(path: str) -> Dict[str, Any]:
                 v = v.astype(np.float32)
             flat[k] = v
         return _unflatten(flat)
+
+
+def weights_path(model_name: str, model_zoo: str = "model_zoo"):
+    """The file ``resolve_model`` would load weights from (None = random).
+
+    Follows the same resolution order (zoo npz unless a newer .pt exists,
+    then .pt, then the bundled demo prior).  Lets artifact writers stamp a
+    self-describing checkpoint identity (e.g. a content hash) into result
+    rows — the npz under a fixed name like ``demo256`` changes as training
+    legs land, and committed JSONL must stay attributable (ADVICE r4).
+    """
+    npz_path = os.path.join(model_zoo, f"{model_name}.flax.npz")
+    pt_path = os.path.join(model_zoo, f"{model_name}.pt")
+    if os.path.exists(npz_path) and not (
+            os.path.exists(pt_path)
+            and os.path.getmtime(pt_path) > os.path.getmtime(npz_path)):
+        return npz_path
+    if os.path.exists(pt_path):
+        return pt_path
+    demo_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets", "demo",
+        f"{model_name}.flax.npz")
+    if os.path.exists(demo_path):
+        return demo_path
+    return None
 
 
 class ResolvedModel(NamedTuple):

@@ -85,15 +85,24 @@ def main() -> None:
                          "'motion-diy' = per-image synthesized motion "
                          "kernels; default keeps the config (Levin09)")
     ap.add_argument("--mask-type", default=None,
-                    choices=["box", "random", "extreme"],
+                    choices=["box", "random", "both", "extreme"],
                     help="override the inpainting mask family; the reference "
                          "publishes box AND random-50%% rows "
                          "(README.md:137-138). Same compiled program as the "
                          "config default (masks are data, not shapes)")
+    ap.add_argument("--mask-len", type=int, default=128,
+                    help="box side for --mask-type box/extreme/both — the "
+                         "reference's protocol box is 128x128 with 16px "
+                         "margin (configs/inpaint.yaml:42, "
+                         "utils_inpaint.py:102-111); set explicitly so the "
+                         "demo config's tiny smoke-test box can never leak "
+                         "into a protocol cell (VERDICT r4 missing #1)")
     ap.add_argument("--tune-images", type=int, default=1,
-                    help="average the tune grid over the first K val images "
-                         "(K launches of ONE compiled program — de-risks "
-                         "single-image tune overfit)")
+                    help="average the tune grid over the first K>=1 val "
+                         "images (K launches of ONE compiled program — "
+                         "de-risks single-image tune overfit). NOTE: these "
+                         "are the LEADING images of the evaluated set (held "
+                         "out from training, not from evaluation)")
     ap.add_argument("--out", default=None, help="append JSONL results here")
     ap.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N images (smoke tests)")
@@ -110,6 +119,27 @@ def main() -> None:
 
     from diffpir_tpu.config import load_config
     from diffpir_tpu.runner import Runner
+
+    if args.tune_images < 1:
+        ap.error("--tune-images must be >= 1")
+
+    # self-describing checkpoint identity: content hash of the weights file
+    # the zoo will resolve — committed JSONL stays attributable even after
+    # the npz under this model name is overwritten by a later training leg
+    from diffpir_tpu.models.zoo import weights_path
+
+    ckpt_id = None
+    wpath = weights_path(args.model)
+    if wpath:
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(wpath, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 22), b""):
+                h.update(chunk)
+        ckpt_id = h.hexdigest()[:12]
+        print(f"model {args.model}: weights {wpath} ckpt={ckpt_id}",
+              flush=True)
 
     rows = []
 
@@ -141,6 +171,9 @@ def main() -> None:
                 if task == "inpaint" and args.mask_type:
                     variant = args.mask_type
                     over["mask_type"] = args.mask_type
+                    if args.mask_type != "random":
+                        over["mask_len_range"] = [args.mask_len,
+                                                  args.mask_len + 1]
                 cfg = load_config(CONFIGS[task], overrides=over)
                 runner = Runner(cfg)
                 paths = None
@@ -155,7 +188,7 @@ def main() -> None:
                     lams = args.lambdas or LAMBDA_GRID[(task, noisy)]
                     pts = [(l, z) for z in args.zetas for l in lams]
                     tune = runner.tune_operating_point(
-                        pts, indices=range(args.tune_images))
+                        pts, indices=range(args.tune_images), paths=paths)
                     lam, zeta = tune["best"]["lambda_"], tune["best"]["zeta"]
                     print(f"tuned {task} nfe={nfe} sigma={sigma}: "
                           f"lambda={lam} zeta={zeta} "
@@ -167,26 +200,33 @@ def main() -> None:
                 lam_v = np.full(args.batch, lam, np.float32)
                 zeta_v = np.full(args.batch, zeta, np.float32)
                 res = runner.evaluate(lambda_=lam_v, zeta=zeta_v, save=False,
-                                      paths=paths)
-                emit(dict(model=args.model,
-                          task=(f"{task}[{variant}]" if variant
-                                else task), nfe=nfe,
-                          sigma=round(sigma / 255.0, 4), lambda_=lam,
-                          zeta=zeta, psnr=round(float(res["psnr"]), 3),
-                          ssim=round(float(res["ssim"]), 4),
-                          images_per_sec=round(float(res["images_per_sec"]),
-                                               3),
-                          n_images=int(res["n_images"]),
-                          wall_s=round(time.perf_counter() - t0, 1)))
+                                      paths=paths,
+                                      hole_metrics=(task == "inpaint"))
+                row = dict(model=args.model, ckpt=ckpt_id,
+                           task=(f"{task}[{variant}]" if variant
+                                 else task), nfe=nfe,
+                           sigma=round(sigma / 255.0, 4), lambda_=lam,
+                           zeta=zeta, psnr=round(float(res["psnr"]), 3),
+                           ssim=round(float(res["ssim"]), 4),
+                           images_per_sec=round(float(res["images_per_sec"]),
+                                                3),
+                           n_images=int(res["n_images"]),
+                           wall_s=round(time.perf_counter() - t0, 1))
+                if res.get("psnr_hole") is not None:
+                    row["psnr_hole"] = round(float(res["psnr_hole"]), 3)
+                    row["ssim_hole"] = round(float(res["ssim_hole"]), 4)
+                emit(row)
 
-    # markdown summary
+    # markdown summary (inpaint rows carry the hole metrics too)
     print("\n| task | NFE | sigma_y | lambda | zeta | PSNR (dB) | SSIM | "
-          "img/s |")
-    print("|---|---|---|---|---|---|---|---|")
+          "hole PSNR | hole SSIM | img/s |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
+        hp = f"{r['psnr_hole']:.2f}" if "psnr_hole" in r else "-"
+        hs = f"{r['ssim_hole']:.4f}" if "ssim_hole" in r else "-"
         print(f"| {r['task']} | {r['nfe']} | {r['sigma']} | {r['lambda_']:g}"
               f" | {r['zeta']:g} | {r['psnr']:.2f} | {r['ssim']:.4f} | "
-              f"{r['images_per_sec']:.2f} |")
+              f"{hp} | {hs} | {r['images_per_sec']:.2f} |")
 
 
 if __name__ == "__main__":

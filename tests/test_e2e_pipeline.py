@@ -181,3 +181,33 @@ def test_inpaint_hole_metrics(tiny_testset):
     # default path reports no hole metrics
     res2 = runner.evaluate(save=False)
     assert res2["psnr_hole"] is None and res2["ssim_hole"] is None
+
+
+def test_grayscale_end_to_end(tiny_testset):
+    """n_channels=1 restore through config -> data -> sampler -> metrics.
+
+    The reference threads n_channels through every driver (main_ddpir.py:139)
+    and reads L-mode images (utils_image.py:147-159); this drives the same
+    path with a 1-channel prior (zoo TINY_GRAY_CONFIG) end-to-end, including
+    grayscale artifact IO."""
+    cfg = _config(tiny_testset, "inpaint", model_name="tiny_gray",
+                  n_channels=1, mask_type="random",
+                  mask_prob_range=[0.3, 0.3], zeta=1.0)
+    runner = Runner(cfg, use_mesh=False)
+    assert runner.module.cfg.in_channels == 1
+    res = runner.evaluate()
+    assert res["n_images"] == 3 and np.isfinite(res["psnr"])
+    assert res["psnr_y"] is None  # Y-PSNR is an RGB metric
+    assert np.isfinite(res["ssim"])
+    saved = [f for f in os.listdir(cfg.E_path) if f.endswith(".png")]
+    assert len(saved) == 3
+    # saved artifacts round-trip as single-channel images
+    back = im.imread_uint(os.path.join(cfg.E_path, saved[0]), 1)
+    assert back.shape == (IMG, IMG, 1)
+    # deblur leg too: FFT prox is channel-generic
+    cfg2 = _config(tiny_testset, "deblur", model_name="tiny_gray",
+                   n_channels=1, blur_mode="Gaussian", kernel_size=9,
+                   zeta=0.1, save_E=False)
+    cfg2.kernel_std = 0.4
+    res2 = Runner(cfg2, use_mesh=False).evaluate(save=False)
+    assert res2["n_images"] == 3 and np.isfinite(res2["psnr"])
