@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -248,14 +249,18 @@ class LoadedRestore:
 
     def __init__(self, path: str, *, use_aot: bool = True):
         self._path = path
+        # boot-phase breakdown (seconds) for cold-start accounting
+        # (scripts/cold_start_probe.py); phases absent from a boot are absent
+        # from the dict (e.g. no program_deserialize_s on an AOT-hit boot —
+        # the StableHLO program is then only read lazily if ever needed).
+        self.boot_timings: dict = {}
+        t = time.perf_counter()
         with open(os.path.join(path, _MANIFEST)) as f:
             self.manifest = json.load(f)
-        with open(os.path.join(path, _PROGRAM), "rb") as f:
-            self._exported = jexport.deserialize(f.read())
-        with np.load(os.path.join(path, _PARAMS)) as z:
-            self._params_flat = [z[str(i)] for i in range(len(z.files))]
+        self.boot_timings["manifest_s"] = round(time.perf_counter() - t, 3)
 
         mesh_info = self.manifest.get("mesh")
+        self._exported_obj = None
         self._aot = None
         if use_aot and mesh_info is None:
             p = os.path.join(path,
@@ -266,6 +271,7 @@ class LoadedRestore:
 
                     from jax.experimental import serialize_executable as se
 
+                    t = time.perf_counter()
                     with open(p, "rb") as f:
                         # single-device executable: pin to device 0 (the
                         # default binds ALL local devices and then expects
@@ -273,13 +279,25 @@ class LoadedRestore:
                         self._aot = se.deserialize_and_load(
                             *pickle.load(f),
                             execution_devices=jax.devices()[:1])
+                    self.boot_timings["aot_deserialize_s"] = round(
+                        time.perf_counter() - t, 3)
                 except Exception as e:  # stale/foreign sidecar — fall back
                     import warnings
 
                     warnings.warn(f"ignoring AOT sidecar {p}: {e!r}")
                     self._aot = None
+
+        t = time.perf_counter()
+        with np.load(os.path.join(path, _PARAMS)) as z:
+            self._params_flat = [z[str(i)] for i in range(len(z.files))]
+        self.boot_timings["params_load_s"] = round(time.perf_counter() - t, 3)
+
         if mesh_info is None:
-            self._call = self._exported.call
+            # the StableHLO program is NOT read here: on an AOT-hit boot the
+            # executable services every call and the (multi-second at 553M)
+            # jexport.deserialize would be pure waste; the _exported property
+            # reads it on demand (AOT miss, save_aot, param re-export checks)
+            self._call = None
             return
         # rebuild the recorded mesh geometry on this host's devices and wrap
         # the program with the original input shardings — callers still pass
@@ -304,6 +322,17 @@ class LoadedRestore:
             in_sh = in_sh + (NamedSharding(mesh, _data_spec(1)),
                              NamedSharding(mesh, _data_spec(1)))
         self._call = jax.jit(self._exported.call, in_shardings=in_sh)
+
+    @property
+    def _exported(self):
+        """The deserialized StableHLO program, read lazily on first use."""
+        if self._exported_obj is None:
+            t = time.perf_counter()
+            with open(os.path.join(self._path, _PROGRAM), "rb") as f:
+                self._exported_obj = jexport.deserialize(f.read())
+            self.boot_timings["program_deserialize_s"] = round(
+                time.perf_counter() - t, 3)
+        return self._exported_obj
 
     def _example_structs(self):
         """ShapeDtypeStructs matching this bundle's exact call convention."""
@@ -399,7 +428,12 @@ class LoadedRestore:
             args = args + (
                 np.broadcast_to(np.asarray(lam, np.float32), (B,)).copy(),
                 np.broadcast_to(np.asarray(zet, np.float32), (B,)).copy())
-        out = (self._aot or self._call)(*args)
+        fn = self._aot
+        if fn is None:
+            if self._call is None:  # non-mesh StableHLO path, built lazily
+                self._call = self._exported.call
+            fn = self._call
+        out = fn(*args)
         return np.asarray(out) if fetch else out
 
 

@@ -123,9 +123,18 @@ def test_aot_sidecar_roundtrip(bundle_env):
 
     fresh = LoadedRestore(path)  # picks the sidecar up automatically
     assert fresh._aot is not None
+    # an AOT-hit boot must NOT pay the StableHLO deserialize (lazy) and the
+    # phase breakdown must record what it did pay (cold_start_probe reads it)
+    assert "aot_deserialize_s" in fresh.boot_timings
+    assert "program_deserialize_s" not in fresh.boot_timings
+    assert "params_load_s" in fresh.boot_timings
     got = fresh(imgs, mask=masks, seed=0)
     want = base(imgs, mask=masks, seed=0)
     np.testing.assert_allclose(got, want, atol=2e-5)
+    assert "program_deserialize_s" not in fresh.boot_timings  # still lazy
+    # the program is still reachable on demand (e.g. for a later save_aot)
+    assert fresh._exported is not None
+    assert "program_deserialize_s" in fresh.boot_timings
 
     svc = RestorationService(bundle_path=path)
     assert svc.loaded._aot is not None  # serving boots on the sidecar too
