@@ -18,15 +18,26 @@ Prints the headline as the LAST JSON line: {"metric", "value", "unit",
 imagenet flagship (256x256_diffusion_uncond, the reference's biggest
 checkpoint, script_util.py:148-158) is printed FIRST — so the driver's
 last-line parse still lands on the headline while the tail regression-guards
-both models.  The imagenet leg is skipped when the ffhq leg ran cold (no
-persistent-cache hit — a second ~15-min remote compile would blow the bench
-budget; see CLAUDE.md).
+both models.
+
+Cold-session-proofing (VERDICT r4 missing #3): the XLA persistent cache dir
+does not survive between driver sessions, so a fresh session used to pay a
+~9-min remote compile per model — and the old bench skipped the 553M leg
+whenever the ffhq leg ran cold, which was every driver round.  Both legs now
+run unconditionally: each model's compiled executable is serialized to a
+platform-tagged sidecar under ``.aot_cache/`` (repo-local, gitignored,
+survives driver sessions; ``jax.experimental.serialize_executable``, the
+same mechanism as ``export.LoadedRestore.save_aot``).  A later session
+deserializes a ready PJRT executable in seconds — no trace, no XLA — and
+times the exact same program.  Stale sidecars (jax/runtime upgrades) fall
+back to a fresh compile and are rewritten.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -45,8 +56,17 @@ MODEL = os.environ.get("BENCH_MODEL", "diffusion_ffhq_10m")
 BENCH_ALL = os.environ.get("BENCH_ALL", "1") not in ("0", "")
 IMAGENET_MODEL = "256x256_diffusion_uncond"
 IMAGENET_BATCH = int(os.environ.get("BENCH_IMAGENET_BATCH", 8))
-# ffhq compile slower than this => cold persistent cache => skip the 553M leg
-COLD_COMPILE_S = float(os.environ.get("BENCH_COLD_COMPILE_S", 240.0))
+AOT_CACHE = os.environ.get(
+    "BENCH_AOT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aot_cache"))
+
+
+def _aot_sidecar(model_name: str, batch: int) -> str:
+    import jax
+
+    return os.path.join(
+        AOT_CACHE, f"bench_{jax.default_backend()}_jax{jax.__version__}_"
+                   f"{model_name}_b{batch}_nfe{NFE}.pkl")
 
 
 def bench_model(model_name: str, batch: int) -> dict:
@@ -71,7 +91,6 @@ def bench_model(model_name: str, batch: int) -> dict:
     mask = jnp.asarray((rng.random((batch, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
 
-    @jax.jit
     def restore(params, y, mask, key):
         import dataclasses
 
@@ -82,9 +101,37 @@ def bench_model(model_name: str, batch: int) -> dict:
                               generate_mode="DiffPIR", y=y, mask=mask,
                               recover_known=True)
 
-    # compile + warmup — NOTE: timing uses an explicit host fetch; on the axon
-    # TPU tunnel block_until_ready() returns before remote execution finishes
+    # obtain the compiled executable: deserialize the platform-tagged AOT
+    # sidecar when one exists (seconds), else compile once and write it so
+    # the NEXT session (fresh XLA cache) skips the ~9-min remote compile
+    from jax.experimental import serialize_executable as se
+
+    sidecar = _aot_sidecar(model_name, batch)
+    compiled, aot_hit = None, False
     t_c0 = time.perf_counter()
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar, "rb") as f:
+                compiled = se.deserialize_and_load(
+                    *pickle.load(f), execution_devices=jax.devices()[:1])
+            aot_hit = True
+        except Exception as e:  # stale (jax/runtime upgrade): recompile
+            print(f"bench: ignoring stale AOT sidecar {sidecar}: {e!r}",
+                  file=sys.stderr)
+    if compiled is None:
+        compiled = jax.jit(restore).lower(
+            params, y, mask, jax.random.PRNGKey(0)).compile()
+        try:
+            os.makedirs(AOT_CACHE, exist_ok=True)
+            with open(sidecar, "wb") as f:
+                pickle.dump(se.serialize(compiled), f)
+        except Exception as e:  # cache write failure must not fail the bench
+            print(f"bench: could not write AOT sidecar: {e!r}",
+                  file=sys.stderr)
+    restore = compiled  # same program either way; timings stay comparable
+
+    # warmup — NOTE: timing uses an explicit host fetch; on the axon
+    # TPU tunnel block_until_ready() returns before remote execution finishes
     out = restore(params, y, mask, jax.random.PRNGKey(0))
     np.asarray(out)
     compile_s = time.perf_counter() - t_c0
@@ -109,6 +156,7 @@ def bench_model(model_name: str, batch: int) -> dict:
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
         "_compile_s": round(compile_s, 1),
+        "_aot_hit": aot_hit,
     }
 
 
@@ -123,19 +171,22 @@ def main():
 
     head = bench_model(MODEL, BATCH)
     compile_s = head.pop("_compile_s")
+    aot_hit = head.pop("_aot_hit")
+    print(f"bench: {MODEL} ready in {compile_s:.0f}s "
+          f"({'AOT sidecar' if aot_hit else 'compiled + sidecar written'})",
+          file=sys.stderr)
     if BENCH_ALL and MODEL != IMAGENET_MODEL:
-        if compile_s > COLD_COMPILE_S:
-            print(f"bench: skipping {IMAGENET_MODEL} leg — ffhq compile took "
-                  f"{compile_s:.0f}s (cold cache); set BENCH_ALL=0 to silence",
+        # both legs run unconditionally (VERDICT r4 missing #3): a cold
+        # session compiles once and writes the sidecar; later sessions
+        # deserialize it in seconds
+        try:
+            row = bench_model(IMAGENET_MODEL, IMAGENET_BATCH)
+            row.pop("_compile_s", None)
+            row.pop("_aot_hit", None)
+            print(json.dumps(row), flush=True)
+        except Exception as e:  # the headline must survive a 553M failure
+            print(f"bench: {IMAGENET_MODEL} leg failed: {e!r}",
                   file=sys.stderr)
-        else:
-            try:
-                row = bench_model(IMAGENET_MODEL, IMAGENET_BATCH)
-                row.pop("_compile_s", None)
-                print(json.dumps(row), flush=True)
-            except Exception as e:  # the headline must survive a 553M failure
-                print(f"bench: {IMAGENET_MODEL} leg failed: {e!r}",
-                      file=sys.stderr)
     # keep the historical headline metric name (BENCH_r01..r03 comparability)
     head["metric"] = (f"images/sec/chip, {SIZE}px, {NFE}-NFE DiffPIR "
                       f"(bf16, batch {BATCH})")
