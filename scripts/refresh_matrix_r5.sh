@@ -19,39 +19,44 @@ M=${MODEL:-demo256}
 stages=${*:-clean100 noisy100 nfe20 gaussian box}
 mkdir -p "$(dirname "$OUT")"
 
+# the axon tunnel occasionally throws a transient FAILED_PRECONDITION at
+# process start (seen right after a previous TPU process exits) — retry each
+# cell once after a cool-down before giving up
+run() { "$@" || { echo "RETRY after transient failure: $*" >&2; sleep 60; "$@"; }; }
+
 for s in $stages; do
   case $s in
     sat)        # pinned round-4 optima (final_matrix.jsonl sigma=0 rows):
                 # 1-point "grid" = 1 launch, then the 100-image evaluation —
                 # checkpoint deltas are measured at a FIXED operating point
-      python scripts/eval_protocol.py --model "$M" --tasks inpaint \
+      run python scripts/eval_protocol.py --model "$M" --tasks inpaint \
           --nfes 100 --sigmas 0 --lambdas 3 --zetas 1.0 --out "$OUT"
-      python scripts/eval_protocol.py --model "$M" --tasks deblur \
+      run python scripts/eval_protocol.py --model "$M" --tasks deblur \
           --nfes 100 --sigmas 0 --lambdas 90 --zetas 1.0 --out "$OUT"
-      python scripts/eval_protocol.py --model "$M" --tasks sr \
+      run python scripts/eval_protocol.py --model "$M" --tasks sr \
           --nfes 100 --sigmas 0 --lambdas 250 --zetas 1.0 --out "$OUT" ;;
     clean100)   # sigma=0 / 100-NFE triple (also the saturation protocol cells)
-      python scripts/eval_protocol.py --model "$M" --tasks inpaint deblur sr \
+      run python scripts/eval_protocol.py --model "$M" --tasks inpaint deblur sr \
           --nfes 100 --sigmas 0 --tune-images 4 --out "$OUT" ;;
     noisy100)   # sigma_y=0.05 / 100-NFE triple, finer-zeta grids
-      python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
+      run python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
           --sigmas 12.75 --lambdas 1.5 2 2.5 3 --zetas 1.0 0.8 0.6 0.4 0.2 \
           --tune-images 4 --out "$OUT"
-      python scripts/eval_protocol.py --model "$M" --tasks sr --nfes 100 \
+      run python scripts/eval_protocol.py --model "$M" --tasks sr --nfes 100 \
           --sigmas 12.75 --lambdas 0.7 1 1.5 2 --zetas 1.0 0.8 0.6 0.4 0.2 \
           --tune-images 4 --out "$OUT"
-      python scripts/eval_protocol.py --model "$M" --tasks inpaint --nfes 100 \
+      run python scripts/eval_protocol.py --model "$M" --tasks inpaint --nfes 100 \
           --sigmas 12.75 --lambdas 3 5 7 10 --zetas 1.0 0.8 0.6 0.4 0.2 \
           --tune-images 4 --out "$OUT" ;;
     nfe20)      # 20-NFE cells, both noise levels
-      python scripts/eval_protocol.py --model "$M" --tasks inpaint deblur sr \
+      run python scripts/eval_protocol.py --model "$M" --tasks inpaint deblur sr \
           --nfes 20 --sigmas 0 12.75 --tune-images 4 --out "$OUT" ;;
     gaussian)   # Gaussian-deblur cells at 100 NFE, PSF-appropriate grids
                 # (reference setting: main_ddpir_deblur.py:64-66)
-      python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
+      run python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
           --sigmas 0 --blur-mode gaussian --lambdas 2 4 7 12 20 35 60 \
           --zetas 1.0 0.5 --tune-images 4 --out "$OUT"
-      python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
+      run python scripts/eval_protocol.py --model "$M" --tasks deblur --nfes 100 \
           --sigmas 12.75 --blur-mode gaussian \
           --lambdas 0.5 0.8 1.2 1.8 2.5 3.5 --zetas 1.0 0.5 0.25 \
           --tune-images 4 --out "$OUT" ;;
@@ -60,7 +65,7 @@ for s in $stages; do
                 # inpaint rows now carry psnr_hole/ssim_hole (the reference
                 # avoids box PSNR entirely, README.md:137-138; we publish the
                 # hole metrics as the headline for these cells)
-      python scripts/eval_protocol.py --model "$M" --tasks inpaint \
+      run python scripts/eval_protocol.py --model "$M" --tasks inpaint \
           --nfes 100 20 --sigmas 0 --mask-type box --tune-images 4 \
           --out "$OUT" ;;
   esac
