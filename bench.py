@@ -136,11 +136,14 @@ def bench_model(model_name: str, batch: int) -> dict:
     np.asarray(out)
     compile_s = time.perf_counter() - t_c0
 
-    # two timing rounds of 3 pipelined reps each; report the best round —
-    # the axon tunnel intermittently adds multi-100ms fetch stalls and a
-    # single slow window must not poison the recorded throughput
+    # timing rounds of 3 pipelined reps each; report the best round — the
+    # axon tunnel intermittently adds multi-100ms fetch stalls and a single
+    # slow window must not poison the recorded throughput.  Best-of-2 was
+    # measured to still let a slow-tunnel session read ~3% low (3.10 vs the
+    # 3.19 steady state across sessions); at ~5-12 s per round, best-of-4 is
+    # the cheap fix.
     n_rep, best_dt = 3, float("inf")
-    for r in range(2):
+    for r in range(int(os.environ.get("BENCH_ROUNDS", 4))):
         t0 = time.perf_counter()
         outs = [restore(params, y, mask, jax.random.PRNGKey(3 * r + i + 1))
                 for i in range(n_rep)]
