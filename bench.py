@@ -50,7 +50,7 @@ NFE = int(os.environ.get("BENCH_NFE", 100))
 # fully compute-bound (batch 8 == batch 16 per BASELINE.md); batch 8 keeps
 # comfortable HBM headroom there.
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
-SIZE = 256
+SIZE = int(os.environ.get("BENCH_SIZE", 256))  # non-default: tests only
 MODEL = os.environ.get("BENCH_MODEL", "diffusion_ffhq_10m")
 # second bench line (553M imagenet flagship); BENCH_ALL=0 disables
 BENCH_ALL = os.environ.get("BENCH_ALL", "1") not in ("0", "")
@@ -64,9 +64,11 @@ AOT_CACHE = os.environ.get(
 def _aot_sidecar(model_name: str, batch: int) -> str:
     import jax
 
+    # size omitted at the default 256 so pre-existing sidecars stay valid
+    size_tag = "" if SIZE == 256 else f"_s{SIZE}"
     return os.path.join(
         AOT_CACHE, f"bench_{jax.default_backend()}_jax{jax.__version__}_"
-                   f"{model_name}_b{batch}_nfe{NFE}.pkl")
+                   f"{model_name}_b{batch}_nfe{NFE}{size_tag}.pkl")
 
 
 def bench_model(model_name: str, batch: int) -> dict:
