@@ -169,10 +169,15 @@ def main():
     import jax
 
     if os.environ.get("BENCH_CPU"):  # testing only: never touch the TPU
+        # no persistent compile cache on the CPU path: a cross-process
+        # XLA:CPU AOT cache hit was observed to deserialize a broken
+        # executable ("Buffer Definition Event ... not found" at the first
+        # fetch); the cache only exists to soften TPU cold sessions anyway
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/diffpir_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/diffpir_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     head = bench_model(MODEL, BATCH)
     compile_s = head.pop("_compile_s")
